@@ -1,0 +1,117 @@
+"""Configuration for the PLADE-TPU registration pipeline.
+
+The reference hard-codes all parameters as local constants derived from the
+source cloud's average point spacing (reference: code/PLADE/plade.cpp:46-56)
+and RANSAC defaults (code/PLADE/plane_extraction.h:56-63).  Here they are
+promoted to a frozen dataclass so they are visible, overridable, and hashable
+(usable as a jit static argument).
+
+Two kinds of fields exist:
+
+* **Semantics parameters** mirroring the reference (same defaults).
+* **Shape parameters** (``max_*``): TPU programs are compiled for static
+  shapes, so every data-dependent count in the reference (planes per cloud,
+  lines, hypotheses, candidates) becomes a padded buffer with a mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class PladeConfig:
+    # ----- derived-parameter multipliers (reference: plade.cpp:46-56) -----
+    #: voxel-grid leaf = ``downsample_factor * average_spacing``
+    downsample_factor: float = 4.0
+    #: length threshold = ``length_factor * average_spacing``
+    length_factor: float = 5.0
+    #: pose / plane-consistency angle threshold (radians); reference 5 deg
+    angle_threshold: float = 5.0 / 180.0 * math.pi
+    #: weight of the matched-plane fraction in the final score (plade.cpp:561)
+    face_matches_weight: float = 0.2
+    #: max verified candidates (plade.cpp:54)
+    max_candidate_results: int = 200
+    #: fixed radius in descriptor space (util.cpp:115)
+    descriptor_match_radius: float = 0.04
+    #: line pairs must differ in direction by more than this (plade.cpp:513)
+    line_pair_min_angle: float = 10.0 / 180.0 * math.pi
+    #: plane pairs more parallel than this produce no line (util.cpp:634)
+    plane_pair_max_cos: float = 0.95
+    #: target/source swapped when source >= 1.2x target (plade.cpp:690)
+    swap_size_ratio: float = 1.2
+
+    # ----- plane extraction (reference: plane_extraction.h:56-63, extract()
+    # auto-tuner plade.cpp:602-635) -----
+    ransac_dist_thresh: float = 0.005   # x cloud scale (max bbox extent)
+    ransac_bitmap_reso: float = 0.02    # x cloud scale
+    ransac_normal_thresh: float = 0.8
+    ransac_overlook_prob: float = 0.001
+    ransac_init_min_support: int = 10000
+    ransac_min_allowed_support: int = 200
+    ransac_max_trials: int = 10
+    min_planes: int = 10
+    max_planes: int = 40
+    #: candidate planes drawn per greedy round (TPU batched RANSAC; the
+    #: reference draws 200/round lazily — RansacShapeDetector.cpp:89-191.
+    #: Full scoring is cheap on TPU so we draw more and score exactly.)
+    ransac_candidates_per_round: int = 256
+    #: least-squares refit rounds per accepted plane (RansacShapeDetector.cpp:633)
+    ransac_refit_rounds: int = 3
+    #: bitmap connected-component resolution (cells per side)
+    bitmap_grid: int = 256
+    #: flood-fill iterations for connected components
+    bitmap_cc_iters: int = 192
+
+    # ----- average spacing (util.cpp:1619-1648) -----
+    spacing_k: int = 6
+    spacing_samples: int = 10000
+
+    # ----- verification (util.cpp:352-511, 1279-1458) -----
+    penetration_min_points: int = 10
+    penetration_ratio: float = 5.0
+    penetration_samples: int = 32
+    enable_penetration_filter: bool = True
+
+    # ----- padded shapes (TPU static-shape budget) -----
+    max_points: int = 131072          #: padded full-resolution cloud size
+    max_ds_points: int = 16384        #: padded downsampled cloud size
+    max_plane_points: int = 4096      #: padded per-plane downsampled points
+    max_lines: int = 256              #: padded intersection-line count
+    max_query_pairs: int = 8192       #: padded source line-pair count
+    max_target_pairs: int = 16384     #: padded target descriptor count
+    max_matches: int = 32768          #: padded (query, target) match count
+    max_pose_clusters: int = 2048     #: pose bins kept after clustering
+
+    # ----- ICP refinement (new vs reference; BASELINE.json configs) -----
+    icp_iters: int = 20
+    icp_max_corr_factor: float = 4.0  # x average_spacing correspondence cutoff
+    enable_icp: bool = False          # reference has no ICP; off by default
+
+    # derived helpers ------------------------------------------------------
+    def derived(self, average_spacing: float) -> "DerivedParams":
+        length_threshold = self.length_factor * average_spacing
+        return DerivedParams(
+            average_spacing=average_spacing,
+            down_sample_distance=self.downsample_factor * average_spacing,
+            length_threshold=length_threshold,
+            angle_threshold=self.angle_threshold,
+            cos_angle_threshold=math.cos(self.angle_threshold),
+            # scale = lengthThreshold / cos(pi/2 - angle)  (plade.cpp:56)
+            scale=length_threshold / math.cos(math.pi / 2 - self.angle_threshold),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DerivedParams:
+    """Scalars derived from the source cloud's average spacing
+    (reference: plade.cpp:41-56)."""
+    average_spacing: float
+    down_sample_distance: float
+    length_threshold: float
+    angle_threshold: float
+    cos_angle_threshold: float
+    scale: float
+
+
+DEFAULT_CONFIG = PladeConfig()

@@ -1,0 +1,54 @@
+"""Fixed-shape voxel-grid downsampling.
+
+Replaces ``pcl::VoxelGrid`` / ``DownSamplePointCloud`` (code/PLADE/util.h:
+161-184): every occupied voxel of side ``leaf`` contributes the centroid of
+its points.  TPU formulation: lexsort points by integer cell coordinates,
+mark segment boundaries, scatter-mean into a padded output buffer.
+Overflowing cells beyond ``max_out`` are dropped (callers size ``max_out``
+generously; the reference output is unbounded).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.types import BIG, Cloud
+
+
+def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
+                     max_out: int) -> Cloud:
+    """Voxel-grid centroid downsample of the masked points.
+
+    points: (N, 3) float32 (BIG-padded), mask: (N,) bool.
+    Returns a Cloud padded to ``max_out`` (normals zeroed).
+    """
+    n = points.shape[0]
+    big = jnp.float32(1e30)
+    pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    ijk = jnp.floor((points - pmin) / leaf).astype(jnp.int32)
+    # Invalid points get unique sentinel cells sorting after all valid cells.
+    sentinel = jnp.int32(2**30)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    ix = jnp.where(mask, ijk[:, 0], sentinel + arange)
+    iy = jnp.where(mask, ijk[:, 1], 0)
+    iz = jnp.where(mask, ijk[:, 2], 0)
+    order = jnp.lexsort((iz, iy, ix))
+    sx, sy, sz = ix[order], iy[order], iz[order]
+    sp = points[order]
+    sm = mask[order]
+    changed = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+    ])
+    seg = jnp.cumsum(changed.astype(jnp.int32)) - 1  # segment id per point
+    count = jnp.where(sm.any(), jnp.max(jnp.where(sm, seg, -1)) + 1, 0)
+    seg_clip = jnp.where(seg < max_out, seg, max_out)  # overflow -> dropped row
+    sums = jnp.zeros((max_out + 1, 3), jnp.float32).at[seg_clip].add(
+        jnp.where(sm[:, None], sp, 0.0))
+    cnts = jnp.zeros((max_out + 1,), jnp.float32).at[seg_clip].add(
+        sm.astype(jnp.float32))
+    centroids = sums[:max_out] / jnp.maximum(cnts[:max_out, None], 1.0)
+    valid = jnp.arange(max_out) < jnp.minimum(count, max_out)
+    out_points = jnp.where(valid[:, None], centroids, BIG)
+    return Cloud(points=out_points,
+                 normals=jnp.zeros((max_out, 3), jnp.float32),
+                 count=jnp.minimum(count, max_out).astype(jnp.int32))

@@ -1,0 +1,106 @@
+"""Blocked brute-force neighbor computations.
+
+The reference funnels every neighbor query through FLANN/ANN KD-trees
+(pcl::search::KdTree — SURVEY 2.2 rows 6, 8, 9).  Pointer-chasing trees are
+the wrong shape for a TPU; at the sizes this pipeline sees (downsampled
+clouds of 10^4 points) the dense distance computation is a small
+GEMM-shaped op that lives happily on the MXU/VPU.  All entry points stream
+over reference blocks with ``lax.map`` so memory stays bounded at
+``Q x block`` regardless of cloud size.
+
+Padding convention: invalid points sit at BIG (core/types.py), so they can
+never enter any radius or k-NN neighborhood and need no extra masks here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _block_dist_sq(q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """(Q,3) x (B,3) -> (Q,B) squared distances via the |q|^2-2qr+|r|^2
+    expansion; the cross term is an MXU matmul."""
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    rr = jnp.sum(r * r, axis=-1)
+    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(qq - 2.0 * cross + rr[None, :], 0.0)
+
+
+def _blocks(refs: jnp.ndarray, block: int) -> jnp.ndarray:
+    n = refs.shape[0]
+    pad = (-n) % block
+    if pad:
+        refs = jnp.concatenate(
+            [refs, jnp.full((pad, 3), 1e8, refs.dtype)], axis=0)
+    return refs.reshape(-1, block, 3)
+
+
+def min_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray,
+                block: int = 2048) -> jnp.ndarray:
+    """Per-query squared distance to the nearest reference point."""
+    rb = _blocks(refs, block)
+
+    def step(carry, r):
+        return jnp.minimum(carry, jnp.min(_block_dist_sq(queries, r), axis=1)), None
+
+    init = jnp.full((queries.shape[0],), jnp.inf, jnp.float32)
+    out, _ = jax.lax.scan(step, init, rb)
+    return out
+
+
+def count_within(queries: jnp.ndarray, refs: jnp.ndarray, radius,
+                 block: int = 2048) -> jnp.ndarray:
+    """Per-query count of reference points within ``radius``."""
+    rb = _blocks(refs, block)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    def step(carry, r):
+        d = _block_dist_sq(queries, r)
+        return carry + jnp.sum((d <= r2).astype(jnp.int32), axis=1), None
+
+    out, _ = jax.lax.scan(step, jnp.zeros((queries.shape[0],), jnp.int32), rb)
+    return out
+
+
+def topk_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray, k: int,
+                 block: int = 2048) -> jnp.ndarray:
+    """(Q, k) smallest squared distances (ascending) to the references."""
+    rb = _blocks(refs, block)
+
+    def step(carry, r):
+        d = _block_dist_sq(queries, r)
+        merged = jnp.concatenate([carry, d], axis=1)
+        neg_top, _ = jax.lax.top_k(-merged, k)
+        return -neg_top, None
+
+    init = jnp.full((queries.shape[0], k), jnp.inf, jnp.float32)
+    out, _ = jax.lax.scan(step, init, rb)
+    return jnp.sort(out, axis=1)
+
+
+def average_spacing(points: jnp.ndarray, mask: jnp.ndarray, k: int = 6,
+                    samples: int = 10000) -> jnp.ndarray:
+    """Average point spacing, replicating ``average_spacing``
+    (code/PLADE/util.cpp:1619-1648) including its quirks: strided sampling
+    of <= ``samples`` query points, k-NN including the query itself, and the
+    per-sample mean dividing the k-1 neighbor distances by k.
+    """
+    n = points.shape[0]
+    count = jnp.sum(mask.astype(jnp.int32))
+    # strided sample: step = floor(count / samples) when count > samples.
+    step = jnp.maximum(count // samples, 1)
+    idx = jnp.arange(samples, dtype=jnp.int32) * step
+    sample_valid = idx < count
+    idx = jnp.minimum(idx, jnp.maximum(count - 1, 0))
+    q = points[idx]
+    d = topk_dist_sq(q, points, k)          # d[:, 0] == 0 (self)
+    per_sample = jnp.sum(jnp.sqrt(d[:, 1:]), axis=1) / k
+    w = sample_valid.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "samples"))
+def average_spacing_jit(points, mask, k: int = 6, samples: int = 10000):
+    return average_spacing(points, mask, k, samples)
