@@ -1,0 +1,96 @@
+"""Synthetic planar scenes for tests and benchmarks.
+
+The reference has no test suite (SURVEY section 4); these generators provide
+the analytic ground truth its sample data can't: scenes made of known planes
+whose extraction, descriptors, and registration transforms can be checked
+exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_plane_points(rng, center, u, v, extent_u, extent_v, n, noise=0.0):
+    """Sample n points on the rectangle center +/- extent along (u, v)."""
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    normal = np.cross(u, v)
+    normal /= np.linalg.norm(normal)
+    a = rng.uniform(-extent_u, extent_u, size=n)
+    b = rng.uniform(-extent_v, extent_v, size=n)
+    pts = (np.asarray(center)[None] + a[:, None] * u[None] + b[:, None] * v[None])
+    if noise > 0:
+        pts = pts + rng.normal(scale=noise, size=(n, 3)) * normal[None]
+    normals = np.tile(normal, (n, 1))
+    return pts.astype(np.float32), normals.astype(np.float32)
+
+
+def make_room(rng, n_per_plane=3000, noise=0.0, size=4.0, extra_planes=4):
+    """A box 'room' (floor + 2-4 walls + ceiling patches) plus a few tilted
+    interior planes so plane pairs are non-degenerate.  Normals point into
+    the room interior (consistent orientation, like scanner data).
+
+    Returns (points, normals, plane_list) with plane_list of
+    (normal, d) ground-truth coefficients.
+    """
+    s = size / 2
+    specs = [
+        # center, u, v, normal toward interior
+        (( 0, 0, -s), (1, 0, 0), (0, 1, 0)),   # floor  (n = +z)
+        (( 0, -s, 0), (1, 0, 0), (0, 0, 1)),   # wall y=-s (n = +y)
+        ((-s, 0, 0), (0, 1, 0), (0, 0, 1)),    # wall x=-s (n = +x)
+        (( 0, s, 0), (1, 0, 0), (0, 0, 1)),    # wall y=+s (n = -y)
+        (( s, 0, 0), (0, 1, 0), (0, 0, 1)),    # wall x=+s (n = -x)
+        (( 0, 0, s), (1, 0, 0), (0, 1, 0)),    # ceiling (n = -z)
+    ]
+    interior = np.zeros(3)
+    pts_list, nrm_list, planes = [], [], []
+    for k, (c, u, v) in enumerate(specs):
+        p, nr = make_plane_points(rng, c, u, v, s * 0.95, s * 0.95,
+                                  n_per_plane, noise)
+        n0 = nr[0] / np.linalg.norm(nr[0])
+        if np.dot(interior - np.asarray(c), n0) < 0:
+            n0 = -n0
+            nr = -nr
+        pts_list.append(p)
+        nrm_list.append(nr)
+        planes.append((n0, -float(np.dot(n0, np.asarray(c, np.float64)))))
+    # tilted interior planes break the box symmetry
+    for k in range(extra_planes):
+        c = rng.uniform(-s * 0.5, s * 0.5, size=3)
+        theta = rng.uniform(0, 2 * np.pi)
+        phi = rng.uniform(0.3, 1.2)
+        n0 = np.array([np.cos(theta) * np.sin(phi),
+                       np.sin(theta) * np.sin(phi), np.cos(phi)])
+        u = np.cross(n0, [0, 0, 1.0])
+        u /= np.linalg.norm(u)
+        v = np.cross(n0, u)
+        p, nr = make_plane_points(rng, c, u, v, s * 0.45, s * 0.35,
+                                  n_per_plane, noise)
+        if np.dot(nr[0], n0) < 0:
+            nr = -nr
+        pts_list.append(p)
+        nrm_list.append(nr)
+        planes.append((n0.astype(np.float32),
+                       -float(np.dot(n0, c))))
+    points = np.concatenate(pts_list, axis=0)
+    normals = np.concatenate(nrm_list, axis=0)
+    perm = rng.permutation(points.shape[0])
+    return points[perm], normals[perm], planes
+
+
+def random_rigid(rng, max_angle=np.pi, max_trans=1.0):
+    """A random rotation (angle <= max_angle) + translation."""
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    angle = rng.uniform(0.2, max_angle)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+    t = rng.uniform(-max_trans, max_trans, size=3)
+    return R.astype(np.float32), t.astype(np.float32)
+
+
+def transform_cloud(points, normals, R, t):
+    return (points @ R.T + t).astype(np.float32), (normals @ R.T).astype(np.float32)

@@ -1,0 +1,89 @@
+"""Plane extraction tests on synthetic scenes with known planes."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plade_tpu.core.config import PladeConfig
+from plade_tpu.core.types import pad_cloud
+from plade_tpu.extract import ransac
+from plade_tpu.io.synthetic import make_room
+
+TEST_CFG = PladeConfig(
+    ransac_candidates_per_round=64,
+    bitmap_grid=64,
+    bitmap_cc_iters=48,
+)
+
+
+def _extract(points, normals, cfg, min_support, max_extract=16, seed=0):
+    n = points.shape[0]
+    pad = 1 << (n - 1).bit_length()
+    cloud = pad_cloud(points, normals, pad)
+    fn = ransac.make_extractor(cfg, pad, max_extract=max_extract)
+    return fn(cloud.points, cloud.normals, cloud.count,
+              jax.random.PRNGKey(seed), min_support)
+
+
+def test_extract_single_plane(rng):
+    from plade_tpu.io.synthetic import make_plane_points
+    pts, nrm = make_plane_points(rng, (0, 0, 1.0), (1, 0, 0), (0, 1, 0),
+                                 2.0, 2.0, 4000, noise=0.002)
+    planes = _extract(pts, nrm, TEST_CFG, min_support=500)
+    assert int(planes.count) == 1
+    n, d = np.asarray(planes.coeffs[0, :3]), float(planes.coeffs[0, 3])
+    # normal oriented along the point normals (+z here)
+    np.testing.assert_allclose(n, [0, 0, 1], atol=0.02)
+    assert abs(d + 1.0) < 0.02
+    assert int(planes.sizes[0]) > 3500
+
+
+def test_extract_room_planes(rng):
+    pts, nrm, gt_planes = make_room(rng, n_per_plane=1500, noise=0.002,
+                                    extra_planes=2)
+    planes = _extract(pts, nrm, TEST_CFG, min_support=400)
+    count = int(planes.count)
+    assert count >= len(gt_planes) - 1  # at least nearly all planes found
+    got = np.asarray(planes.coeffs[:count])
+    matched = 0
+    for n_gt, d_gt in gt_planes:
+        dots = got[:, :3] @ n_gt
+        dd = np.abs(got[:, 3] - d_gt)
+        if np.any((dots > 0.99) & (dd < 0.05)):
+            matched += 1
+    assert matched >= len(gt_planes) - 1
+    # support points assigned
+    pp = np.asarray(planes.point_plane)
+    assert (pp >= 0).sum() > 0.8 * pts.shape[0]
+
+
+def test_connected_component_split(rng):
+    # two coplanar patches far apart: CC trim must keep only one
+    from plade_tpu.io.synthetic import make_plane_points
+    p1, n1 = make_plane_points(rng, (0, 0, 0), (1, 0, 0), (0, 1, 0),
+                               1.0, 1.0, 2000, noise=0.001)
+    p2, n2 = make_plane_points(rng, (8, 0, 0), (1, 0, 0), (0, 1, 0),
+                               1.0, 1.0, 1000, noise=0.001)
+    pts = np.concatenate([p1, p2])
+    nrm = np.concatenate([n1, n2])
+    planes = _extract(pts, nrm, TEST_CFG, min_support=300, max_extract=4)
+    # both patches should come out as separate planes, not one merged plane
+    assert int(planes.count) == 2
+    sizes = sorted(int(s) for s in np.asarray(planes.sizes[:2]))
+    assert 800 < sizes[0] < 1300
+    assert 1700 < sizes[1] < 2300
+
+
+def test_select_planes_auto_tune(rng):
+    pts, nrm, _ = make_room(rng, n_per_plane=900, noise=0.002, extra_planes=2)
+    cfg = dataclasses.replace(TEST_CFG, min_planes=4, max_planes=6,
+                              ransac_min_allowed_support=200,
+                              ransac_init_min_support=10000)
+    planes = _extract(pts, nrm, cfg, min_support=200, max_extract=16)
+    sel = ransac.select_planes(planes, cfg)
+    assert int(sel.count) <= 6
+    assert int(sel.count) >= 4
+    # remapped point ids stay consistent
+    pp = np.asarray(sel.point_plane)
+    assert pp.max() < int(sel.count)
