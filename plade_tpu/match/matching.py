@@ -1,0 +1,207 @@
+"""Descriptor matching, pose hypotheses, pose clustering, plane consistency.
+
+TPU-native replacement for ``MatchingLines`` (code/PLADE/util.cpp:31-520):
+
+* the nine ANN KD-trees (only the 8-D 2-2 tree is live) become one blocked
+  dense distance computation with a fixed 0.04 radius (util.cpp:115) and a
+  static-size match compaction;
+* per-match rigid hypotheses use closed-form frame alignment
+  (ComputeTransformationUsingTwoVecAndOnePoint, util.cpp:604-624);
+* ``ClusterTransformation``'s conditional Euclidean clustering over the 6-D
+  (translation, Euler-angle) embedding (util.cpp:1245-1277) becomes grid
+  binning at the same tolerances — the TPU-shaped approximation of
+  single-linkage clustering;
+* cluster representatives are screened by the bounding-center check and the
+  plane-consistency count (util.cpp:352-401), fully batched.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import PairDescriptors
+from ..geometry.transforms import euler_angles, rotation_from_two_vecs
+
+
+class Matches(NamedTuple):
+    q_idx: jnp.ndarray   # (M,) int32 — query row
+    t_idx: jnp.ndarray   # (M,) int32 — target row
+    valid: jnp.ndarray   # (M,) bool
+    count: jnp.ndarray   # () int32 (pre-cap true count)
+
+
+def match_descriptors(query: PairDescriptors, target: PairDescriptors,
+                      radius: float, max_matches: int,
+                      block: int = 256) -> Matches:
+    """All (query, target) descriptor pairs within ``radius`` (8-D
+    Euclidean), compacted into a fixed-size buffer.
+
+    Streams over query blocks so the (Q, T) distance matrix is never
+    materialized; the cross term rides the MXU.
+    """
+    Q = query.desc.shape[0]
+    T = target.desc.shape[0]
+    r2 = jnp.float32(radius * radius)
+    nblocks = (Q + block - 1) // block
+    qd = jnp.pad(query.desc, ((0, nblocks * block - Q), (0, 0)),
+                 constant_values=1e6)
+    td = target.desc
+    tt = jnp.sum(td * td, axis=-1)
+    per_block_cap = max_matches  # generous: a block may own every match
+
+    def body(carry, qb):
+        buf_q, buf_t, cursor = carry
+        qblock, base = qb
+        qq = jnp.sum(qblock * qblock, axis=-1, keepdims=True)
+        d2 = qq - 2.0 * jnp.dot(qblock, td.T,
+                                preferred_element_type=jnp.float32) + tt[None, :]
+        hit = d2 <= r2                                   # (block, T)
+        flat = hit.reshape(-1)
+        idx = jnp.nonzero(flat, size=per_block_cap, fill_value=block * T)[0]
+        ok = idx < block * T
+        qi = (base + idx // T).astype(jnp.int32)
+        ti = (idx % T).astype(jnp.int32)
+        nhits = jnp.sum(flat.astype(jnp.int32))
+        pos = cursor + jnp.arange(per_block_cap, dtype=jnp.int32)
+        write = ok & (pos < max_matches)
+        pos_safe = jnp.where(write, pos, max_matches)
+        buf_q = buf_q.at[pos_safe].set(jnp.where(write, qi, 0), mode="drop")
+        buf_t = buf_t.at[pos_safe].set(jnp.where(write, ti, 0), mode="drop")
+        return (buf_q, buf_t, cursor + nhits), None
+
+    init = (jnp.zeros(max_matches + 1, jnp.int32),
+            jnp.zeros(max_matches + 1, jnp.int32),
+            jnp.asarray(0, jnp.int32))
+    blocks = qd.reshape(nblocks, block, 8)
+    bases = jnp.arange(nblocks, dtype=jnp.int32) * block
+    (buf_q, buf_t, total), _ = jax.lax.scan(body, init, (blocks, bases))
+    m = jnp.arange(max_matches) < jnp.minimum(total, max_matches)
+    return Matches(q_idx=buf_q[:max_matches], t_idx=buf_t[:max_matches],
+                   valid=m, count=total)
+
+
+def hypothesis_poses(query: PairDescriptors, target: PairDescriptors,
+                     matches: Matches):
+    """(R, t) per match: R aligns the canonicalized source line directions
+    onto the target's; t = target_anchor - R @ source_anchor
+    (util.cpp:303-327, 604-624)."""
+    qv1 = query.line_vec1[matches.q_idx]
+    qv2 = query.line_vec2[matches.q_idx]
+    tv1 = target.line_vec1[matches.t_idx]
+    tv2 = target.line_vec2[matches.t_idx]
+    R = rotation_from_two_vecs(qv1, qv2, tv1, tv2)
+    qa = query.anchor[matches.q_idx]
+    ta = target.anchor[matches.t_idx]
+    t = ta - jnp.einsum("mij,mj->mi", R, qa)
+    return R, t
+
+
+class Clusters(NamedTuple):
+    rep: jnp.ndarray      # (C,) int32 — hypothesis index of representative
+    size: jnp.ndarray     # (C,) int32 — cluster member count
+    valid: jnp.ndarray    # (C,) bool
+
+
+def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
+                  dist_tol, euler_tol, max_clusters: int) -> Clusters:
+    """Grid-bin pose clustering over the 6-D (t, euler) embedding.
+
+    The reference single-links hypotheses whose translations are within
+    ``lengthThreshold/2`` and whose Euler-angle vectors differ by less than
+    sqrt(angleThreshold/2) (ClusterTransformation + EnforceSimilarity,
+    util.cpp:1232-1277).  Binning at those tolerances merges the same dense
+    hypothesis clumps in fixed shape; the representative is the first member
+    (the reference uses ``cluster.indices[0]``).
+    """
+    H = R.shape[0]
+    roll, pitch, yaw = euler_angles(R)
+    e = jnp.stack([roll, pitch, yaw], axis=-1)
+    cells_t = jnp.floor(t / dist_tol).astype(jnp.int32)
+    cells_e = jnp.floor(e / euler_tol).astype(jnp.int32)
+    sentinel = jnp.int32(2**24)
+    arange = jnp.arange(H, dtype=jnp.int32)
+    c0 = jnp.where(valid, cells_t[:, 0], sentinel + arange)
+    cols = [c0, cells_t[:, 1], cells_t[:, 2],
+            cells_e[:, 0], cells_e[:, 1], cells_e[:, 2]]
+    order = jnp.lexsort(cols[::-1])
+    sorted_cols = [c[order] for c in cols]
+    changed = jnp.zeros(H, jnp.bool_).at[0].set(True)
+    for c in sorted_cols:
+        changed = changed | jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), c[1:] != c[:-1]])
+    seg = jnp.cumsum(changed.astype(jnp.int32)) - 1          # (H,) sorted-seg id
+    sorted_valid = valid[order]
+    counts = jnp.zeros(H, jnp.int32).at[seg].add(sorted_valid.astype(jnp.int32))
+    first_pos = jnp.full(H, H, jnp.int32).at[seg].min(jnp.arange(H, dtype=jnp.int32))
+    top_counts, top_seg = jax.lax.top_k(counts, max_clusters)
+    rep_sorted_pos = first_pos[top_seg]
+    rep = order[jnp.minimum(rep_sorted_pos, H - 1)]
+    cvalid = top_counts > 0
+    return Clusters(rep=rep.astype(jnp.int32), size=top_counts,
+                    valid=cvalid)
+
+
+def plane_consistency(R, t, cvalid,
+                      src_coeffs, src_centers, src_radii, src_pmask,
+                      tgt_coeffs, tgt_centers, tgt_radii, tgt_pmask,
+                      src_bounding_center, tgt_bounding_center,
+                      max_radius, length_threshold, cos_angle_threshold):
+    """Per-candidate consistent-plane count + matched pair mask.
+
+    Mirrors util.cpp:352-401: candidates whose transformed bounding center
+    leaves the target radius are zeroed; a source plane counts (once) if
+    some target plane has matching normal direction, small symmetric
+    center-to-plane distance, and overlapping bounding circles.
+
+    Returns (counts (C,), pair_mask (C, Ps, Pt) bool).
+    """
+    # transformed source planes: normal R n, offset d - (Rn).t
+    ns = src_coeffs[:, :3]
+    ds = src_coeffs[:, 3]
+    rn = jnp.einsum("cij,pj->cpi", R, ns)                   # (C, Ps, 3)
+    rd = ds[None, :] - jnp.einsum("cpi,ci->cp", rn, t)      # (C, Ps)
+    sc = jnp.einsum("cij,pj->cpi", R, src_centers) + t[:, None, :]
+
+    nt = tgt_coeffs[:, :3]
+    dt = tgt_coeffs[:, 3]
+
+    ang = jnp.einsum("cpi,qi->cpq", rn, nt)                 # (C, Ps, Pt)
+    d_a = jnp.abs(jnp.einsum("qi,cpi->cpq", nt, sc) + dt[None, None, :])
+    d_b = jnp.abs(jnp.einsum("cpi,qi->cpq", rn, tgt_centers) + rd[..., None])
+    c2pd = 0.5 * (d_a + d_b)
+    center_dist = jnp.linalg.norm(sc[:, :, None, :] - tgt_centers[None, None, :, :],
+                                  axis=-1)
+    rad_sum = src_radii[None, :, None] + tgt_radii[None, None, :]
+
+    ok = (ang >= cos_angle_threshold) & (c2pd <= length_threshold) \
+        & (center_dist <= rad_sum) \
+        & src_pmask[None, :, None] & tgt_pmask[None, None, :]
+
+    # bounding-center sanity (util.cpp:359-363)
+    tc = jnp.einsum("cij,j->ci", R, src_bounding_center) + t
+    center_ok = jnp.linalg.norm(tc - tgt_bounding_center, axis=-1) <= max_radius
+
+    matched_src = jnp.any(ok, axis=2)                        # (C, Ps)
+    counts = jnp.sum(matched_src.astype(jnp.int32), axis=1)
+    counts = jnp.where(cvalid & center_ok, counts, 0)
+    # "break" on first target match: keep only the first matching target
+    first = jnp.argmax(ok, axis=2)
+    pair_mask = (jnp.arange(ok.shape[2])[None, None, :] == first[..., None]) & ok
+    pair_mask &= (cvalid & center_ok)[:, None, None]
+    return counts, pair_mask
+
+
+def select_candidates(counts, cluster_order_rank, max_candidates: int):
+    """Order candidates by (match count desc, cluster-size rank asc) and
+    keep the top ``max_candidates`` with count >= 2 (util.cpp:404-459)."""
+    C = counts.shape[0]
+    eligible = counts >= 2
+    # composite sort key: primary -counts, secondary original rank
+    key = jnp.where(eligible, counts.astype(jnp.int32) * C - cluster_order_rank,
+                    jnp.int32(-1))
+    order = jnp.argsort(-key)
+    sel = order[:max_candidates]
+    sel_valid = eligible[sel]
+    return sel.astype(jnp.int32), sel_valid

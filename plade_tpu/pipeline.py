@@ -1,0 +1,277 @@
+"""End-to-end pair registration pipeline.
+
+TPU-native counterpart of the 550-line core ``registration`` overload
+(code/PLADE/plade.cpp:31-580); see SURVEY section 3.1 for the reference
+call stack.  The per-pair flow:
+
+  prepare_cloud (per cloud):  downsample -> OBB -> per-plane geometry ->
+                              plane-pair intersection lines
+  register_pair:              pair-line descriptors (both sides) ->
+                              radius-0.04 dense descriptor match ->
+                              closed-form pose hypotheses -> 6-D pose-bin
+                              clustering -> plane-consistency screening ->
+                              top-200 candidates -> penetration filter ->
+                              voxel-hash overlap scoring -> argmax of
+                              0.2 * planeFrac + 0.8 * overlap
+
+Everything between (and including) descriptor construction and final
+scoring is one jit-compiled, fixed-shape program per config — vmappable
+over batches of pairs and shardable over a device mesh (dist/).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import PladeConfig
+from .core.types import (BIG, Cloud, LineSet, PlaneGeometry, PlaneSet,
+                         RegistrationResult, pad_cloud, se3_matrix)
+from .descriptors.pairlines import pair_descriptors
+from .extract import ransac
+from .geometry.lines import intersect_planes, project_points_to_plane
+from .geometry.obb import compute_obb
+from .geometry.voxel import voxel_downsample
+from .knn.bruteforce import average_spacing
+from .match import matching
+from .verify import overlap as overlap_mod
+from .verify import penetration
+
+
+class PreparedCloud(NamedTuple):
+    ds: Cloud                    # downsampled full cloud
+    bounding_center: jnp.ndarray # (3,)
+    bounding_radius: jnp.ndarray # ()
+    planes: PlaneSet
+    geom: PlaneGeometry
+    lines: LineSet
+
+
+def _prepare_cloud_impl(cloud: Cloud, planes: PlaneSet, dsd,
+                        cfg: PladeConfig) -> PreparedCloud:
+    # cloud-level downsample + PCA bounding box (plade.cpp:77-84)
+    ds = voxel_downsample(cloud.points, cloud.mask, dsd, cfg.max_ds_points)
+    box = compute_obb(ds.points, ds.mask)
+
+    # per-plane geometry (plade.cpp:87-122)
+    def per_plane(k):
+        pmask = (planes.point_plane == k) & cloud.mask
+        dsk = voxel_downsample(cloud.points, pmask, dsd, cfg.max_plane_points)
+        pbox = compute_obb(dsk.points, dsk.mask)
+        corners4 = project_points_to_plane(pbox.corners[:4], planes.coeffs[k])
+        center = 0.5 * (corners4[0] + corners4[2])
+        radius = 0.5 * jnp.linalg.norm(corners4[0] - corners4[2])
+        return dsk.points, dsk.count, corners4, center, radius
+
+    P = planes.coeffs.shape[0]
+    pts, counts, corners, centers, radii = jax.lax.map(
+        per_plane, jnp.arange(P))
+    geom = PlaneGeometry(ds_points=pts, ds_counts=counts, corners=corners,
+                         centers=centers, radii=radii)
+
+    # plane-pair intersection lines (plade.cpp:130-172)
+    coeffs = planes.coeffs
+    ii, jj = jnp.meshgrid(jnp.arange(P), jnp.arange(P), indexing="ij")
+    tri = jj > ii
+    direction, point, lvalid = intersect_planes(coeffs[ii], coeffs[jj])
+    lvalid &= tri & planes.mask[ii] & planes.mask[jj]
+    # reject lines far from the bounding center (plade.cpp:137-142)
+    w = point - box.center
+    along = jnp.sum(w * direction, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(w * w, -1) - along * along, 0.0))
+    lvalid &= dist <= box.radius
+
+    flat = lvalid.reshape(-1)
+    total = P * P
+    idx = jnp.nonzero(flat, size=cfg.max_lines, fill_value=total)[0]
+    ok = idx < total
+    idx_safe = jnp.minimum(idx, total - 1)
+    li = idx_safe // P
+    lj = idx_safe % P
+    lines = LineSet(
+        direction=jnp.where(ok[:, None], direction.reshape(total, 3)[idx_safe], 0.0),
+        point=jnp.where(ok[:, None], point.reshape(total, 3)[idx_safe], BIG),
+        support=jnp.where(ok[:, None], jnp.stack([li, lj], -1), 0).astype(jnp.int32),
+        count=jnp.sum(flat.astype(jnp.int32)).clip(max=cfg.max_lines),
+    )
+    return PreparedCloud(ds=ds, bounding_center=box.center,
+                         bounding_radius=box.radius, planes=planes,
+                         geom=geom, lines=lines)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prepare_cloud(cloud: Cloud, planes: PlaneSet, dsd, cfg: PladeConfig):
+    return _prepare_cloud_impl(cloud, planes, dsd, cfg)
+
+
+def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
+                        cfg: PladeConfig) -> RegistrationResult:
+    scale, length_threshold, dsd = dparams
+    cos10 = math.cos(cfg.line_pair_min_angle)
+    tgt_desc = pair_descriptors(tgt.lines, tgt.planes.coeffs[:, :3], scale,
+                                cfg.max_target_pairs, ordered=True,
+                                min_angle_cos=cos10, pad_value=-1e6)
+    src_desc = pair_descriptors(src.lines, src.planes.coeffs[:, :3], scale,
+                                cfg.max_query_pairs, ordered=False,
+                                min_angle_cos=cos10, pad_value=1e6)
+    matches = matching.match_descriptors(
+        src_desc, tgt_desc, cfg.descriptor_match_radius, cfg.max_matches)
+    R, t = matching.hypothesis_poses(src_desc, tgt_desc, matches)
+
+    # cluster at half the length/angle thresholds (util.cpp:331)
+    euler_tol = math.sqrt(cfg.angle_threshold / 2.0)
+    clusters = matching.cluster_poses(
+        R, t, matches.valid, length_threshold / 2.0, euler_tol,
+        cfg.max_pose_clusters)
+    cR = R[clusters.rep]
+    ct = t[clusters.rep]
+
+    counts, _ = matching.plane_consistency(
+        cR, ct, clusters.valid,
+        src.planes.coeffs, src.geom.centers, src.geom.radii, src.planes.mask,
+        tgt.planes.coeffs, tgt.geom.centers, tgt.geom.radii, tgt.planes.mask,
+        src.bounding_center, tgt.bounding_center,
+        tgt.bounding_radius, length_threshold,
+        math.cos(cfg.angle_threshold))
+
+    C = counts.shape[0]
+    sel, sel_valid = matching.select_candidates(
+        counts, jnp.arange(C, dtype=jnp.int32), cfg.max_candidate_results)
+    sR = cR[sel]
+    st = ct[sel]
+    sel_counts = counts[sel]
+
+    if cfg.enable_penetration_filter:
+        tests = penetration.build_tests(
+            sR, st, sel_valid,
+            src.planes.coeffs, src.geom.corners, src.geom.centers,
+            src.planes.mask,
+            tgt.planes.coeffs, tgt.geom.corners, tgt.geom.centers,
+            tgt.planes.mask,
+            length_threshold, cfg.angle_threshold,
+            max_tests=cfg.max_penetration_tests)
+        pen = penetration.run_tests(
+            tests, sR, st,
+            src.geom.ds_points, src.geom.ds_counts,
+            tgt.geom.ds_points, tgt.geom.ds_counts,
+            src.planes.coeffs, tgt.planes.coeffs,
+            search_radius=length_threshold,
+            min_points=cfg.penetration_min_points,
+            min_distance=length_threshold / 2.0,
+            n_samples=cfg.penetration_samples)
+        rejected = penetration.rejected_candidates(
+            tests, pen, cfg.max_candidate_results)
+        sel_valid = sel_valid & ~rejected
+
+    ov = overlap_mod.overlap_scores(
+        sR, st, sel_valid, src.ds.points, src.ds.count,
+        tgt.ds.points, tgt.ds.count, dsd)
+
+    plane_frac = sel_counts.astype(jnp.float32) / jnp.maximum(
+        src.planes.count.astype(jnp.float32), 1.0)
+    score = cfg.face_matches_weight * plane_frac \
+        + (1.0 - cfg.face_matches_weight) * ov
+    score = jnp.where(sel_valid, score, -jnp.inf)
+    best = jnp.argmax(score)
+    success = jnp.any(sel_valid) & (matches.count > 0)
+    Rb = jnp.where(success, sR[best], jnp.eye(3))
+    tb = jnp.where(success, st[best], jnp.zeros(3))
+    return RegistrationResult(
+        transform=se3_matrix(Rb, tb),
+        score=jnp.where(success, score[best], 0.0),
+        overlap=jnp.where(success, ov[best], 0.0),
+        matched_planes=jnp.where(success, sel_counts[best], 0),
+        success=success,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_pair(tgt: PreparedCloud, src: PreparedCloud, dparams,
+                  cfg: PladeConfig) -> RegistrationResult:
+    return _register_pair_impl(tgt, src, dparams, cfg)
+
+
+# --------------------------------------------------------------------------
+# host-level orchestration (numpy in, numpy out)
+# --------------------------------------------------------------------------
+
+def _pad_size(n: int, minimum: int = 4096) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
+                    cfg: PladeConfig = PladeConfig(), seed: int = 0):
+    """Register source onto target from raw numpy clouds.
+
+    Mirrors the file-level reference entry (plade.cpp:665-707): swaps
+    target/source when the source is >= 1.2x larger (the result is inverted
+    back), auto-tunes plane extraction, then runs the device pipeline.
+
+    Returns (transform 4x4 np.ndarray, info dict).
+    """
+    swapped = False
+    if src_points.shape[0] >= tgt_points.shape[0] * cfg.swap_size_ratio:
+        tgt_points, src_points = src_points, tgt_points
+        tgt_normals, src_normals = src_normals, tgt_normals
+        swapped = True
+
+    pad = _pad_size(max(tgt_points.shape[0], src_points.shape[0]))
+    tgt_cloud = pad_cloud(tgt_points, tgt_normals, pad)
+    src_cloud = pad_cloud(src_points, src_normals, pad)
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    tgt_planes = ransac.auto_extract(tgt_cloud.points, tgt_cloud.normals,
+                                     tgt_cloud.count, k1, cfg, pad)
+    src_planes = ransac.auto_extract(src_cloud.points, src_cloud.normals,
+                                     src_cloud.count, k2, cfg, pad)
+
+    info = {"swapped": swapped,
+            "tgt_planes": int(tgt_planes.count),
+            "src_planes": int(src_planes.count)}
+    if int(tgt_planes.count) < cfg.min_planes or \
+       int(src_planes.count) < cfg.min_planes:
+        # too few planes (plade.cpp:646-657)
+        info["failure"] = "too few planes"
+        return np.eye(4, dtype=np.float32), info
+
+    # parameters derived from the source cloud's spacing (plade.cpp:41-56)
+    sp = float(average_spacing(src_cloud.points, src_cloud.mask,
+                               cfg.spacing_k, cfg.spacing_samples))
+    dp = cfg.derived(sp)
+    info["average_spacing"] = sp
+
+    tgt_prep = prepare_cloud(tgt_cloud, tgt_planes,
+                             jnp.float32(dp.down_sample_distance), cfg)
+    src_prep = prepare_cloud(src_cloud, src_planes,
+                             jnp.float32(dp.down_sample_distance), cfg)
+    dparams = (jnp.float32(dp.scale), jnp.float32(dp.length_threshold),
+               jnp.float32(dp.down_sample_distance))
+    result = register_pair(tgt_prep, src_prep, dparams, cfg)
+
+    T = np.asarray(result.transform)
+    info["score"] = float(result.score)
+    info["overlap"] = float(result.overlap)
+    info["matched_planes"] = int(result.matched_planes)
+    info["success"] = bool(result.success)
+    if swapped:
+        T = np.linalg.inv(T)
+    return T, info
+
+
+def register_files(target_file: str, source_file: str,
+                   cfg: PladeConfig = PladeConfig(), seed: int = 0):
+    """File-level entry (reference plade.cpp:665-707; PLY only)."""
+    from .io.ply import read_ply
+    tp, tn = read_ply(target_file)
+    sp_, sn = read_ply(source_file)
+    if tn is None or sn is None:
+        raise ValueError("registration requires point normals in both clouds")
+    return register_clouds(tp, tn, sp_, sn, cfg, seed)
