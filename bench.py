@@ -1,0 +1,82 @@
+"""Benchmark: registered pairs/s on the bundled polyhedron sample pair.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference publishes no numbers (BASELINE.md) and its
+binary cannot be built in this image (PCL requires Boost, which is absent
+— see .ref_build/cmake.log).  ``vs_baseline`` therefore uses an explicit
+single-core wall-clock estimate for the reference on this pair
+(REF_SECONDS_PER_PAIR below; the PLADE pipeline on ~100k-point clouds is
+tens of seconds single-threaded).  Replace with a measured number when a
+reference build exists.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_SECONDS_PER_PAIR = 20.0  # documented estimate; see module docstring
+TARGET = "/root/reference/sample_data/polyhedron_target.ply"
+SOURCE = "/root/reference/sample_data/polyhedron_source.ply"
+GT = np.array([
+    [-0.50608, 0.86067, 0.05595, -0.25258],
+    [0.82135, 0.50072, -0.27326, 0.86333],
+    [-0.26320, -0.09234, -0.96031, 0.15475],
+    [0.0, 0.0, 0.0, 1.0]])
+
+
+def main():
+    import jax
+    # persistent compile cache: the full-pipeline program is large; cache
+    # makes warm-start rounds (and reruns) skip the multi-minute compile
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    from plade_tpu.core.config import PladeConfig
+    from plade_tpu.core.types import pad_cloud
+    from plade_tpu.io.ply import read_ply
+    from plade_tpu.pipeline import register_pair_device, _pad_size
+
+    cfg = PladeConfig()
+    tp, tn = read_ply(TARGET)
+    sp, sn = read_ply(SOURCE)
+    pad = _pad_size(max(tp.shape[0], sp.shape[0]))
+    tgt = pad_cloud(tp, tn, pad)
+    src = pad_cloud(sp, sn, pad)
+    fn = register_pair_device(cfg, pad)
+
+    # warm-up (compile)
+    res = fn(tgt, src, jax.random.PRNGKey(0))
+    jax.block_until_ready(res)
+
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        res = fn(tgt, src, jax.random.PRNGKey(i))
+        jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / runs
+
+    T = np.asarray(res.transform)
+    c = (np.trace(GT[:3, :3].T @ T[:3, :3]) - 1.0) / 2.0
+    rot_err_deg = float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+    trans_err = float(np.linalg.norm(T[:3, 3] - GT[:3, 3]))
+
+    pairs_per_s = 1.0 / dt
+    out = {
+        "metric": "sample_pair_registration_throughput",
+        "value": round(pairs_per_s, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s * REF_SECONDS_PER_PAIR, 2),
+        "extra": {
+            "wall_s_per_pair": round(dt, 3),
+            "rot_err_deg": round(rot_err_deg, 3),
+            "trans_err": round(trans_err, 4),
+            "success": bool(res.success),
+            "baseline_note": "vs estimated 20 s/pair single-core reference"
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

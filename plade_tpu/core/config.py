@@ -82,7 +82,7 @@ class PladeConfig:
     max_target_pairs: int = 16384     #: padded target descriptor count
     max_matches: int = 32768          #: padded (query, target) match count
     max_pose_clusters: int = 2048     #: pose bins kept after clustering
-    max_penetration_tests: int = 4096 #: compacted penetration point-tests
+    max_penetration_tests: int = 16384  #: compacted penetration point-tests
 
     # ----- ICP refinement (new vs reference; BASELINE.json configs) -----
     icp_iters: int = 20

@@ -1,0 +1,100 @@
+"""Device meshes and sharded batch registration.
+
+The reference has no distributed or even multi-threaded execution — batch
+mode is a sequential loop over pairs on one CPU core (code/PLADE/main.cpp:
+97-158; SURVEY section 2.3).  The TPU-native elevation:
+
+* **pairs axis = data parallelism**: independent registrations shard over
+  the ``pairs`` mesh axis; zero communication between pairs.
+* **intra-pair axis = model/sequence parallelism analog**: the padded point
+  buffers of each cloud shard over the ``intra`` axis; XLA GSPMD inserts the
+  collectives (psum for masked reductions such as inlier counts and overlap
+  tallies) over ICI.
+* **multi-host**: ``jax.distributed.initialize`` + the same mesh spanning
+  hosts; pair results are fully sharded so only the small
+  ``RegistrationResult`` leaves the device (all_gather on the pairs axis).
+
+Everything is plain ``jit`` with ``NamedSharding`` annotations — no manual
+collectives; layouts are chosen so reductions ride ICI.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import PladeConfig
+from ..core.types import Cloud, RegistrationResult
+from ..pipeline import build_register_device_fn
+
+PAIRS = "pairs"
+INTRA = "intra"
+
+
+def make_mesh(n_devices: int | None = None, intra: int = 1,
+              devices=None) -> Mesh:
+    """A ``(pairs, intra)`` mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if n_devices % intra != 0:
+        raise ValueError(f"n_devices={n_devices} not divisible by intra={intra}")
+    arr = np.asarray(devices).reshape(n_devices // intra, intra)
+    return Mesh(arr, (PAIRS, INTRA))
+
+
+def batch_specs(cfg: PladeConfig):
+    """PartitionSpecs for (tgt_batch, src_batch, keys): pair axis sharded,
+    cloud point buffers additionally sharded over the intra axis."""
+    cloud_spec = Cloud(points=P(PAIRS, INTRA), normals=P(PAIRS, INTRA),
+                       count=P(PAIRS))
+    return cloud_spec, cloud_spec, P(PAIRS)
+
+
+def result_specs():
+    return RegistrationResult(transform=P(PAIRS), score=P(PAIRS),
+                              overlap=P(PAIRS), matched_planes=P(PAIRS),
+                              success=P(PAIRS))
+
+
+@functools.lru_cache(maxsize=8)
+def make_batch_register(cfg: PladeConfig, num_points: int, mesh: Mesh):
+    """Jitted, mesh-sharded batched registration: (B-pairs in, B results
+    out), B divisible by the pairs axis size."""
+    step = build_register_device_fn(cfg, num_points)
+    vstep = jax.vmap(step)
+    tgt_spec, src_spec, key_spec = batch_specs(cfg)
+
+    def shard(spec_tree):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    return jax.jit(
+        vstep,
+        in_shardings=(shard(tgt_spec), shard(src_spec), shard(key_spec)),
+        out_shardings=shard(result_specs()),
+    )
+
+
+def register_batch(tgt_batch: Cloud, src_batch: Cloud, keys, cfg: PladeConfig,
+                   mesh: Mesh | None = None) -> RegistrationResult:
+    """Register a batch of pairs sharded over the mesh.
+
+    ``tgt_batch``/``src_batch`` are Clouds with a leading batch axis; B must
+    be a multiple of the pairs-axis size (pad with dummy pairs if needed).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    num_points = tgt_batch.points.shape[1]
+    fn = make_batch_register(cfg, num_points, mesh)
+    return fn(tgt_batch, src_batch, keys)
+
+
+def stack_clouds(clouds: list[Cloud]) -> Cloud:
+    """Stack same-shape Clouds along a new leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)

@@ -127,9 +127,10 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
     return inlier & (point_labels == best_label)
 
 
-def make_extractor(cfg: PladeConfig, num_points: int,
-                   max_extract: int | None = None):
-    """Build a jitted extraction function for fixed cloud size."""
+def build_extract_fn(cfg: PladeConfig, num_points: int,
+                     max_extract: int | None = None):
+    """Build the (un-jitted) extraction function for a fixed cloud size —
+    composable inside larger jitted programs (pipeline.register_pair_device)."""
     max_extract = max_extract or cfg.max_planes
     S = cfg.ransac_candidates_per_round
     grid = cfg.bitmap_grid
@@ -203,7 +204,6 @@ def make_extractor(cfg: PladeConfig, num_points: int,
             fail_streak=jnp.where(accept, 0, state.fail_streak + 1),
         )
 
-    @jax.jit
     def extract(points, normals, count, key, min_support):
         """points/normals: (N, 3) BIG-padded; count: () int32.
 
@@ -245,6 +245,12 @@ def make_extractor(cfg: PladeConfig, num_points: int,
     return extract
 
 
+def make_extractor(cfg: PladeConfig, num_points: int,
+                   max_extract: int | None = None):
+    """Jitted standalone extraction for fixed cloud size."""
+    return jax.jit(build_extract_fn(cfg, num_points, max_extract))
+
+
 def auto_extract(points, normals, count, key, cfg: PladeConfig,
                  num_points: int):
     """Plane extraction with the reference's auto-tuning semantics
@@ -265,6 +271,52 @@ def auto_extract(points, normals, count, key, cfg: PladeConfig,
 @functools.lru_cache(maxsize=8)
 def _cached_extractor(cfg: PladeConfig, num_points: int):
     return make_extractor(cfg, num_points, max_extract=64)
+
+
+def _support_thresholds(cfg: PladeConfig) -> list[int]:
+    """The reference's halving schedule: 10000, 5000, ..., >= floor
+    (plade.cpp:607-633)."""
+    ts = []
+    t = cfg.ransac_init_min_support
+    while t >= cfg.ransac_min_allowed_support:
+        ts.append(t)
+        t //= 2
+    return ts
+
+
+def select_planes_device(planes: PlaneSet, cfg: PladeConfig) -> PlaneSet:
+    """Device-side (jittable) variant of :func:`select_planes` — the same
+    auto-tune semantics as the reference's extract() loop (plade.cpp:602-635)
+    expressed as masked reductions, so the whole pipeline can stay on
+    device for batched/sharded execution.
+    """
+    P0 = planes.coeffs.shape[0]
+    P = cfg.max_planes
+    sizes = planes.sizes
+    valid = jnp.arange(P0) < planes.count
+    th = jnp.asarray(_support_thresholds(cfg), jnp.int32)          # (T,)
+    cnt = jnp.sum((sizes[None, :] >= th[:, None]) & valid[None, :], axis=1)
+    okth = cnt >= cfg.min_planes
+    chosen = jnp.where(jnp.any(okth), th[jnp.argmax(okth)],
+                       jnp.int32(cfg.ransac_min_allowed_support))
+    keep = valid & (sizes >= chosen)
+    # largest max_planes by support, then restored to greedy order
+    order = jnp.argsort(-jnp.where(keep, sizes, -1))
+    kept = order[:P]
+    kept_valid = keep[kept]
+    kk = jnp.sort(jnp.where(kept_valid, kept, P0))
+    new_valid = kk < P0
+    kk_safe = jnp.minimum(kk, P0 - 1)
+    coeffs = jnp.where(new_valid[:, None], planes.coeffs[kk_safe], 0.0)
+    out_sizes = jnp.where(new_valid, sizes[kk_safe], 0)
+    remap = jnp.full((P0 + 1,), -1, jnp.int32).at[
+        jnp.where(new_valid, kk_safe, P0)].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")
+    pp = planes.point_plane
+    new_pp = jnp.where(pp >= 0, remap[jnp.clip(pp, 0, P0)], -1)
+    return PlaneSet(coeffs=coeffs, sizes=out_sizes,
+                    count=jnp.sum(new_valid.astype(jnp.int32)),
+                    point_plane=new_pp.astype(jnp.int32))
 
 
 def select_planes(planes: PlaneSet, cfg: PladeConfig) -> PlaneSet:

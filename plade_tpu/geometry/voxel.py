@@ -15,11 +15,13 @@ from ..core.types import BIG, Cloud
 
 
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
-                     max_out: int) -> Cloud:
+                     max_out: int, normals: jnp.ndarray | None = None) -> Cloud:
     """Voxel-grid centroid downsample of the masked points.
 
     points: (N, 3) float32 (BIG-padded), mask: (N,) bool.
-    Returns a Cloud padded to ``max_out`` (normals zeroed).
+    Returns a Cloud padded to ``max_out``.  When ``normals`` is given, each
+    voxel carries the normalized mean normal of its points (used by ICP's
+    point-to-plane correspondences); otherwise normals are zeroed.
     """
     n = points.shape[0]
     big = jnp.float32(1e30)
@@ -49,6 +51,16 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
     centroids = sums[:max_out] / jnp.maximum(cnts[:max_out, None], 1.0)
     valid = jnp.arange(max_out) < jnp.minimum(count, max_out)
     out_points = jnp.where(valid[:, None], centroids, BIG)
+    if normals is not None:
+        sn = normals[order]
+        nsums = jnp.zeros((max_out + 1, 3), jnp.float32).at[seg_clip].add(
+            jnp.where(sm[:, None], sn, 0.0))
+        mean_n = nsums[:max_out]
+        mean_n = mean_n / jnp.maximum(
+            jnp.linalg.norm(mean_n, axis=-1, keepdims=True), 1e-12)
+        out_normals = jnp.where(valid[:, None], mean_n, 0.0)
+    else:
+        out_normals = jnp.zeros((max_out, 3), jnp.float32)
     return Cloud(points=out_points,
-                 normals=jnp.zeros((max_out, 3), jnp.float32),
+                 normals=out_normals,
                  count=jnp.minimum(count, max_out).astype(jnp.int32))

@@ -64,6 +64,27 @@ def count_within(queries: jnp.ndarray, refs: jnp.ndarray, radius,
     return out
 
 
+def nearest_neighbor(queries: jnp.ndarray, refs: jnp.ndarray,
+                     block: int = 2048):
+    """Per-query (squared distance, index) of the nearest reference point."""
+    rb = _blocks(refs, block)
+
+    def step(carry, rb_base):
+        best_d, best_i = carry
+        r, base = rb_base
+        d = _block_dist_sq(queries, r)
+        bd = jnp.min(d, axis=1)
+        bi = jnp.argmin(d, axis=1).astype(jnp.int32) + base
+        take = bd < best_d
+        return (jnp.where(take, bd, best_d), jnp.where(take, bi, best_i)), None
+
+    init = (jnp.full((queries.shape[0],), jnp.inf, jnp.float32),
+            jnp.zeros((queries.shape[0],), jnp.int32))
+    bases = jnp.arange(rb.shape[0], dtype=jnp.int32) * block
+    (d2, idx), _ = jax.lax.scan(step, init, (rb, bases))
+    return d2, idx
+
+
 def topk_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray, k: int,
                  block: int = 2048) -> jnp.ndarray:
     """(Q, k) smallest squared distances (ascending) to the references."""

@@ -53,8 +53,10 @@ class PreparedCloud(NamedTuple):
 
 def _prepare_cloud_impl(cloud: Cloud, planes: PlaneSet, dsd,
                         cfg: PladeConfig) -> PreparedCloud:
-    # cloud-level downsample + PCA bounding box (plade.cpp:77-84)
-    ds = voxel_downsample(cloud.points, cloud.mask, dsd, cfg.max_ds_points)
+    # cloud-level downsample + PCA bounding box (plade.cpp:77-84);
+    # normals carried for ICP's point-to-plane correspondences
+    ds = voxel_downsample(cloud.points, cloud.mask, dsd, cfg.max_ds_points,
+                          normals=cloud.normals)
     box = compute_obb(ds.points, ds.mask)
 
     # per-plane geometry (plade.cpp:87-122)
@@ -180,6 +182,19 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
     success = jnp.any(sel_valid) & (matches.count > 0)
     Rb = jnp.where(success, sR[best], jnp.eye(3))
     tb = jnp.where(success, st[best], jnp.zeros(3))
+
+    if cfg.enable_icp:
+        # point-to-plane refinement of the winning coarse pose
+        # (addition vs reference — it ships the raw hypothesis,
+        # plade.cpp:545-575)
+        from .refine.icp import refine_icp
+        max_corr = cfg.icp_max_corr_factor * dsd / cfg.downsample_factor
+        Ri, ti, _, _ = refine_icp(
+            Rb, tb, src.ds.points, src.ds.mask,
+            tgt.ds.points, tgt.ds.normals, max_corr, cfg.icp_iters)
+        Rb = jnp.where(success, Ri, Rb)
+        tb = jnp.where(success, ti, tb)
+
     return RegistrationResult(
         transform=se3_matrix(Rb, tb),
         score=jnp.where(success, score[best], 0.0),
@@ -193,6 +208,60 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
 def register_pair(tgt: PreparedCloud, src: PreparedCloud, dparams,
                   cfg: PladeConfig) -> RegistrationResult:
     return _register_pair_impl(tgt, src, dparams, cfg)
+
+
+# --------------------------------------------------------------------------
+# device-only full step: extraction -> preparation -> registration with no
+# host round-trips — the unit that dist/ batches and shards over meshes
+# --------------------------------------------------------------------------
+
+def build_register_device_fn(cfg: PladeConfig, num_points: int):
+    """Un-jitted full-pipeline step for fixed cloud size ``num_points``.
+
+    Covers the core ``registration`` overload (plade.cpp:638-662: extract
+    with auto-tuning, fail when < min_planes) plus the 550-line pipeline
+    (plade.cpp:31-580), entirely on device.  The host-level file entry's
+    target/source swap stays on the host (plade.cpp:690-704).
+    """
+    extract = ransac.build_extract_fn(cfg, num_points, max_extract=64)
+
+    def step(tgt_cloud: Cloud, src_cloud: Cloud, key) -> RegistrationResult:
+        k1, k2 = jax.random.split(key)
+        floor = jnp.int32(cfg.ransac_min_allowed_support)
+        tgt_planes = ransac.select_planes_device(
+            extract(tgt_cloud.points, tgt_cloud.normals, tgt_cloud.count,
+                    k1, floor), cfg)
+        src_planes = ransac.select_planes_device(
+            extract(src_cloud.points, src_cloud.normals, src_cloud.count,
+                    k2, floor), cfg)
+        enough = (tgt_planes.count >= cfg.min_planes) & \
+            (src_planes.count >= cfg.min_planes)
+
+        sp = average_spacing(src_cloud.points, src_cloud.mask,
+                             cfg.spacing_k, cfg.spacing_samples)
+        dsd = cfg.downsample_factor * sp
+        lt = cfg.length_factor * sp
+        scale = lt / math.cos(math.pi / 2 - cfg.angle_threshold)
+
+        tgt_prep = _prepare_cloud_impl(tgt_cloud, tgt_planes, dsd, cfg)
+        src_prep = _prepare_cloud_impl(src_cloud, src_planes, dsd, cfg)
+        res = _register_pair_impl(tgt_prep, src_prep, (scale, lt, dsd), cfg)
+        success = res.success & enough
+        return RegistrationResult(
+            transform=jnp.where(success, res.transform, jnp.eye(4)),
+            score=jnp.where(success, res.score, 0.0),
+            overlap=jnp.where(success, res.overlap, 0.0),
+            matched_planes=jnp.where(success, res.matched_planes, 0),
+            success=success,
+        )
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def register_pair_device(cfg: PladeConfig, num_points: int):
+    """Jitted single-pair full-device step (cached per config/shape)."""
+    return jax.jit(build_register_device_fn(cfg, num_points))
 
 
 # --------------------------------------------------------------------------

@@ -158,12 +158,22 @@ def build_tests(R, t, cand_valid,
     )
 
 
+def _d2(a, b):
+    """Batched squared distances (k,M,3) x (k,S,3) -> (k,M,S); the cross
+    term is a batched GEMM that rides the MXU."""
+    aa = jnp.sum(a * a, axis=-1)                                # (k,M)
+    bb = jnp.sum(b * b, axis=-1)                                # (k,S)
+    cross = jnp.einsum("kmi,ksi->kms", a, b,
+                       preferred_element_type=jnp.float32)
+    return jnp.maximum(aa[..., None] - 2.0 * cross + bb[:, None, :], 0.0)
+
+
 def run_tests(tests: PenTests, R, t,
               src_plane_pts, src_plane_counts,
               tgt_plane_pts, tgt_plane_counts,
               src_coeffs, tgt_coeffs,
               search_radius, min_points: int, min_distance,
-              n_samples: int, chunk: int = 16):
+              n_samples: int, chunk: int = 128):
     """Phase 2b: the point-counting walk for each compacted test.
 
     Returns per-test ``penetrable`` (K,) bool.
@@ -194,13 +204,11 @@ def run_tests(tests: PenTests, R, t,
 
         def side(points, pmask, other, omask, pn, pd):
             # occupancy of the *other* cloud at each sample (>= 2 within r/2)
-            d2o = jnp.sum((other[:, :, None, :] - samples[:, None, :, :]) ** 2,
-                          -1)                                   # (k,M,S)
+            d2o = _d2(other, samples)                           # (k,M,S)
             occ = jnp.sum((d2o <= (search_radius / 2) ** 2) & omask[..., None],
                           axis=1) >= 2                          # (k,S)
             sample_live = s_ok & occ
-            d2p = jnp.sum((points[:, :, None, :] - samples[:, None, :, :]) ** 2,
-                          -1)
+            d2p = _d2(points, samples)                          # (k,M,S)
             near = jnp.any((d2p <= search_radius ** 2) & sample_live[:, None, :],
                            axis=2) & pmask                      # (k,M)
             signed = jnp.einsum("kmi,ki->km", points, pn) + pd[:, None]
@@ -221,11 +229,17 @@ def run_tests(tests: PenTests, R, t,
         return side1 & side2 & valid
 
     K = tests.cand.shape[0]
-    nchunks = K // chunk
+    chunk = min(chunk, K)
+    nchunks = (K + chunk - 1) // chunk
+    pad = nchunks * chunk - K
+    padded = jax.tree.map(
+        lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x,
+        tests)
     tc = jax.tree.map(lambda x: x.reshape((nchunks, chunk) + x.shape[1:]),
-                      tests)
+                      padded)
     pen = jax.lax.map(one_chunk, tuple(tc))
-    return pen.reshape(K)
+    return pen.reshape(-1)[:K]
 
 
 def rejected_candidates(tests: PenTests, penetrable, num_candidates: int):

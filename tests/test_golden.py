@@ -1,0 +1,41 @@
+"""Golden test vs the reference's bundled sample pair + ground truth.
+
+The polyhedron pair is the reference's de-facto acceptance artifact
+(sample_data/polyhedron_source_groundtruth.txt; SURVEY section 4).  The full
+default-size pipeline takes minutes to compile, so this runs only when
+PLADE_RUN_GOLDEN=1 (the bench path exercises it on TPU every round).
+"""
+import os
+
+import numpy as np
+import pytest
+
+SAMPLE_DIR = "/root/reference/sample_data"
+GT = np.array([
+    [-0.50608, 0.86067, 0.05595, -0.25258],
+    [0.82135, 0.50072, -0.27326, 0.86333],
+    [-0.26320, -0.09234, -0.96031, 0.15475],
+    [0.0, 0.0, 0.0, 1.0]])
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PLADE_RUN_GOLDEN") != "1"
+    or not os.path.isdir(SAMPLE_DIR),
+    reason="golden run is slow; set PLADE_RUN_GOLDEN=1")
+
+
+def test_polyhedron_pair_matches_groundtruth():
+    from plade_tpu.core.config import PladeConfig
+    from plade_tpu.pipeline import register_files
+
+    T, info = register_files(
+        os.path.join(SAMPLE_DIR, "polyhedron_target.ply"),
+        os.path.join(SAMPLE_DIR, "polyhedron_source.ply"),
+        PladeConfig(), seed=0)
+    assert info["success"], info
+    c = (np.trace(GT[:3, :3].T @ T[:3, :3]) - 1.0) / 2.0
+    rot_err = np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+    trans_err = np.linalg.norm(T[:3, 3] - GT[:3, 3])
+    # coarse (no ICP) acceptance: the reference's own room-pair run differs
+    # from GT at ~1e-2 (BASELINE.md); polyhedron is cleaner
+    assert rot_err < 1.0, (T, rot_err)
+    assert trans_err < 0.05, (T, trans_err)
