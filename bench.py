@@ -28,10 +28,8 @@ GT = np.array([
 
 def main():
     import jax
-    # persistent compile cache: the full-pipeline program is large; cache
-    # makes warm-start rounds (and reruns) skip the multi-minute compile
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    from plade_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from plade_tpu.core.config import PladeConfig
     from plade_tpu.core.types import pad_cloud
     from plade_tpu.io.ply import read_ply

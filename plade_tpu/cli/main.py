@@ -1,0 +1,204 @@
+"""Command-line interface mirroring the reference's two usage modes
+(code/PLADE/main.cpp:30-159):
+
+  plade-tpu  target.ply source.ply result.txt   # single pair
+  plade-tpu  file_pairs.txt result.txt          # batch (2 lines per pair)
+
+Extensions over the reference (flagged, defaults match reference behavior):
+  --icp          enable point-to-plane ICP refinement
+  --seed N       explicit PRNG seed (reference uses time(0) —
+                 RansacShapeDetector.cpp:463; we default to 0 for
+                 reproducibility)
+  --device-batch run batch pairs through the sharded device pipeline
+                 (dist/mesh) instead of the sequential host loop
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+USAGE = """PLADE-TPU registers two point clouds dominated by planar structures.
+
+Usage 1 (single pair):   plade-tpu target.ply source.ply result.txt
+Usage 2 (batch):         plade-tpu file_pairs.txt result.txt
+  The pairs file lists two file names per pair on consecutive lines:
+  target first, then source. Results are 4x4 matrices aligning each
+  source to its target."""
+
+
+def _format_matrix(T: np.ndarray) -> str:
+    # Eigen's default: rows on lines, space-separated
+    return "\n".join(" ".join(f"{v:.6g}" for v in row) for row in T)
+
+
+def _write_single(out, target, source, T, ok):
+    out.write(f"target: {target}\n")
+    out.write(f"source: {source}\n")
+    if ok:
+        out.write("transformation:\n" + _format_matrix(T) + "\n")
+    else:
+        out.write("registration failed, an identity matrix is recorded:\n"
+                  + _format_matrix(np.eye(4)) + "\n")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="plade-tpu", usage=USAGE, add_help=True)
+    parser.add_argument("paths", nargs="+",
+                        help="target.ply source.ply result.txt | pairs.txt result.txt")
+    parser.add_argument("--icp", action="store_true",
+                        help="enable point-to-plane ICP refinement")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device-batch", action="store_true",
+                        help="batch mode: run pairs through the sharded "
+                             "device pipeline")
+    args = parser.parse_args(argv)
+
+    from ..core.config import PladeConfig
+    cfg = PladeConfig(enable_icp=True) if args.icp else PladeConfig()
+
+    if len(args.paths) == 3:
+        target, source, result_file = args.paths
+        return _run_single(target, source, result_file, cfg, args.seed)
+    if len(args.paths) == 2:
+        pairs_file, result_file = args.paths
+        return _run_batch(pairs_file, result_file, cfg, args.seed,
+                          args.device_batch)
+    parser.error("expected 2 (batch) or 3 (single pair) positional paths")
+    return 2
+
+
+def _run_single(target, source, result_file, cfg, seed) -> int:
+    from ..pipeline import register_files
+    try:
+        with open(result_file, "w") as out:
+            try:
+                T, info = register_files(target, source, cfg, seed)
+                ok = bool(info.get("success"))
+                if not ok:
+                    reason = info.get("failure", "no verified candidate")
+                    print(f"registration failed: {reason} (info: {info})",
+                          file=sys.stderr)
+            except (ValueError, FileNotFoundError) as e:
+                print(f"registration failed: {e}", file=sys.stderr)
+                T, ok = np.eye(4), False
+            _write_single(out, target, source, T, ok)
+    except OSError:
+        print(f"failed opening the result file: {result_file}",
+              file=sys.stderr)
+        return 1
+    if ok:
+        print(f"the registration result has been written into file: "
+              f"{result_file}")
+        return 0
+    return 1
+
+
+def _read_pairs(pairs_file):
+    """Two non-empty lines per pair; missing files skipped with a warning
+    (main.cpp:110-133)."""
+    pairs, pending = [], []
+    with open(pairs_file) as f:
+        for line in f:
+            name = line.strip()
+            if not name:
+                continue
+            if not os.path.isfile(name):
+                print(f"file doesn't exist: {name}", file=sys.stderr)
+                continue
+            pending.append(name)
+            if len(pending) == 2:
+                pairs.append(tuple(pending))
+                pending = []
+    return pairs
+
+
+def _run_batch(pairs_file, result_file, cfg, seed, device_batch) -> int:
+    from ..pipeline import register_files
+    try:
+        pairs = _read_pairs(pairs_file)
+    except OSError:
+        print(f"failed opening the file containing pairs of point cloud "
+              f"names: {pairs_file}", file=sys.stderr)
+        return 1
+
+    try:
+        out = open(result_file, "w")
+    except OSError:
+        print(f"failed opening the result file: {result_file}",
+              file=sys.stderr)
+        return 1
+
+    n_success = n_failure = 0
+    with out:
+        if device_batch and pairs:
+            results = _register_batch_device(pairs, cfg, seed)
+        else:
+            results = None
+        for i, (target, source) in enumerate(pairs):
+            if results is not None:
+                T, ok = results[i]
+            else:
+                try:
+                    T, info = register_files(target, source, cfg, seed)
+                    ok = bool(info.get("success"))
+                except (ValueError, FileNotFoundError) as e:
+                    print(f"registration failed: {e}", file=sys.stderr)
+                    T, ok = np.eye(4), False
+            _write_single(out, target, source, T, ok)
+            out.write("\n")
+            n_success += ok
+            n_failure += not ok
+
+    if n_success == 0:
+        print(f"registration all failed ({n_failure} pairs)", file=sys.stderr)
+        return 1
+    if n_failure > 0:
+        print(f"registration of {n_failure} (out of "
+              f"{n_failure + n_success}) pairs failed", file=sys.stderr)
+    print(f"the registration result has been written into file: {result_file}")
+    return 0
+
+
+def _register_batch_device(pairs, cfg, seed):
+    """All pairs through the sharded device pipeline in fixed-size batches."""
+    import jax
+    from ..core.types import pad_cloud
+    from ..dist import mesh as dist_mesh
+    from ..io.ply import read_ply
+    from ..pipeline import _pad_size
+
+    clouds = []
+    max_n = 0
+    for target, source in pairs:
+        tpts, tnrm = read_ply(target)
+        spts, snrm = read_ply(source)
+        max_n = max(max_n, tpts.shape[0], spts.shape[0])
+        clouds.append((tpts, tnrm, spts, snrm))
+    pad = _pad_size(max_n)
+
+    mesh = dist_mesh.make_mesh()
+    B0 = mesh.shape[dist_mesh.PAIRS]
+    results = []
+    for start in range(0, len(clouds), B0):
+        chunk = clouds[start:start + B0]
+        while len(chunk) < B0:
+            chunk.append(chunk[0])  # pad batch with a repeat
+        tgt_b = dist_mesh.stack_clouds(
+            [pad_cloud(c[0], c[1], pad) for c in chunk])
+        src_b = dist_mesh.stack_clouds(
+            [pad_cloud(c[2], c[3], pad) for c in chunk])
+        keys = jax.random.split(jax.random.PRNGKey(seed + start), B0)
+        res = dist_mesh.register_batch(tgt_b, src_b, keys, cfg, mesh)
+        T = np.asarray(res.transform)
+        ok = np.asarray(res.success)
+        for i in range(min(B0, len(clouds) - start)):
+            results.append((T[i], bool(ok[i])))
+    return results
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,6 +72,11 @@ class PladeConfig:
     penetration_ratio: float = 5.0
     penetration_samples: int = 32
     enable_penetration_filter: bool = True
+    #: exact-overlap verification budget (phase 2 of the two-phase scorer;
+    #: phase 1 ranks all candidates by a superset-approximate score)
+    overlap_exact_k: int = 16
+    #: dense occupancy bitmap resolution (cells per side)
+    overlap_grid: int = 256
 
     # ----- padded shapes (TPU static-shape budget) -----
     max_points: int = 131072          #: padded full-resolution cloud size

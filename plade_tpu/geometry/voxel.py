@@ -64,3 +64,56 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
     return Cloud(points=out_points,
                  normals=out_normals,
                  count=jnp.minimum(count, max_out).astype(jnp.int32))
+
+
+def voxel_downsample_by_plane(points: jnp.ndarray, mask: jnp.ndarray,
+                              point_plane: jnp.ndarray, leaf,
+                              num_planes: int, max_out: int):
+    """Per-plane voxel-grid downsample of all planes in ONE sorted pass.
+
+    Replaces the reference's per-plane ``DownSamplePointCloud`` loop
+    (plade.cpp:87-122) without 2*P full-cloud sorts: points are lexsorted
+    once by (plane id, voxel cell); each (plane, cell) segment contributes
+    its centroid to that plane's padded row block.
+
+    Returns (pts (P, max_out, 3) BIG-padded, counts (P,) int32).
+    """
+    n = points.shape[0]
+    ok = mask & (point_plane >= 0) & (point_plane < num_planes)
+    big = jnp.float32(1e30)
+    pmin = jnp.min(jnp.where(ok[:, None], points, big), axis=0)
+    ijk = jnp.floor((points - pmin) / leaf).astype(jnp.int32)
+    sentinel = jnp.int32(2**30)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    kp = jnp.where(ok, point_plane, num_planes)
+    kx = jnp.where(ok, ijk[:, 0], sentinel + arange)
+    ky = jnp.where(ok, ijk[:, 1], 0)
+    kz = jnp.where(ok, ijk[:, 2], 0)
+    order = jnp.lexsort((kz, ky, kx, kp))
+    sp_, sm = points[order], ok[order]
+    spl = kp[order]
+    sx, sy, sz = kx[order], ky[order], kz[order]
+    changed = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (spl[1:] != spl[:-1]) | (sx[1:] != sx[:-1]) |
+        (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+    ])
+    seg = jnp.cumsum(changed.astype(jnp.int32)) - 1
+    nseg = n  # upper bound
+    # first segment id of each plane -> local cell index within the plane
+    first_seg = jnp.full((num_planes + 1,), nseg, jnp.int32).at[
+        jnp.minimum(spl, num_planes)].min(seg)
+    local = seg - first_seg[jnp.minimum(spl, num_planes)]
+    flat = jnp.where(sm & (local < max_out),
+                     jnp.minimum(spl, num_planes - 1) * max_out + local,
+                     num_planes * max_out)
+    sums = jnp.zeros((num_planes * max_out + 1, 3), jnp.float32).at[flat].add(
+        jnp.where(sm[:, None], sp_, 0.0))
+    cnts = jnp.zeros((num_planes * max_out + 1,), jnp.float32).at[flat].add(
+        sm.astype(jnp.float32))
+    centroids = (sums[:-1] / jnp.maximum(cnts[:-1, None], 1.0)).reshape(
+        num_planes, max_out, 3)
+    occupied = (cnts[:-1] > 0).reshape(num_planes, max_out)
+    counts = jnp.sum(occupied.astype(jnp.int32), axis=1)
+    pts = jnp.where(occupied[..., None], centroids, BIG)
+    return pts, counts

@@ -27,8 +27,19 @@ def read_ply(path: str):
     """Read a PLY file.
 
     Returns ``(points, normals)`` as float32 arrays; ``normals`` is None when
-    the file has no nx/ny/nz properties.
+    the file has no nx/ny/nz properties.  Uses the native C++ reader
+    (plade_tpu/native/ply_io.cpp) when built; falls back to pure numpy.
     """
+    from . import native
+    if native.available():
+        try:
+            return native.read_ply(path)
+        except ValueError:
+            pass  # fall through for formats the native reader rejects
+    return _read_ply_numpy(path)
+
+
+def _read_ply_numpy(path: str):
     with open(path, "rb") as f:
         header_lines = []
         while True:

@@ -87,18 +87,27 @@ def nearest_neighbor(queries: jnp.ndarray, refs: jnp.ndarray,
 
 def topk_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray, k: int,
                  block: int = 2048) -> jnp.ndarray:
-    """(Q, k) smallest squared distances (ascending) to the references."""
+    """(Q, k) smallest squared distances (ascending) to the references.
+
+    Sort-free: ``k`` successive masked argmin passes per block (k is small —
+    6 for average_spacing).  Avoids lax.top_k, whose TPU sort lowering has
+    shown pathological compile times in this environment.
+    """
     rb = _blocks(refs, block)
 
     def step(carry, r):
-        d = _block_dist_sq(queries, r)
-        merged = jnp.concatenate([carry, d], axis=1)
-        neg_top, _ = jax.lax.top_k(-merged, k)
-        return -neg_top, None
+        d = jnp.concatenate([carry, _block_dist_sq(queries, r)], axis=1)
+        outs = []
+        for _ in range(k):
+            i = jnp.argmin(d, axis=1)
+            v = jnp.take_along_axis(d, i[:, None], axis=1)
+            outs.append(v[:, 0])
+            d = d.at[jnp.arange(d.shape[0]), i].set(jnp.inf)
+        return jnp.stack(outs, axis=1), None
 
     init = jnp.full((queries.shape[0], k), jnp.inf, jnp.float32)
     out, _ = jax.lax.scan(step, init, rb)
-    return jnp.sort(out, axis=1)
+    return out
 
 
 def average_spacing(points: jnp.ndarray, mask: jnp.ndarray, k: int = 6,

@@ -35,7 +35,7 @@ from .descriptors.pairlines import pair_descriptors
 from .extract import ransac
 from .geometry.lines import intersect_planes, project_points_to_plane
 from .geometry.obb import compute_obb
-from .geometry.voxel import voxel_downsample
+from .geometry.voxel import voxel_downsample, voxel_downsample_by_plane
 from .knn.bruteforce import average_spacing
 from .match import matching
 from .verify import overlap as overlap_mod
@@ -59,19 +59,18 @@ def _prepare_cloud_impl(cloud: Cloud, planes: PlaneSet, dsd,
                           normals=cloud.normals)
     box = compute_obb(ds.points, ds.mask)
 
-    # per-plane geometry (plade.cpp:87-122)
-    def per_plane(k):
-        pmask = (planes.point_plane == k) & cloud.mask
-        dsk = voxel_downsample(cloud.points, pmask, dsd, cfg.max_plane_points)
-        pbox = compute_obb(dsk.points, dsk.mask)
-        corners4 = project_points_to_plane(pbox.corners[:4], planes.coeffs[k])
-        center = 0.5 * (corners4[0] + corners4[2])
-        radius = 0.5 * jnp.linalg.norm(corners4[0] - corners4[2])
-        return dsk.points, dsk.count, corners4, center, radius
-
+    # per-plane geometry (plade.cpp:87-122): all planes voxel-downsampled in
+    # one sorted pass, OBBs batched
     P = planes.coeffs.shape[0]
-    pts, counts, corners, centers, radii = jax.lax.map(
-        per_plane, jnp.arange(P))
+    pts, counts = voxel_downsample_by_plane(
+        cloud.points, cloud.mask, planes.point_plane, dsd, P,
+        cfg.max_plane_points)
+    pmasks = jnp.arange(cfg.max_plane_points)[None, :] < counts[:, None]
+    pboxes = compute_obb(pts, pmasks)
+    corners = jax.vmap(project_points_to_plane)(
+        pboxes.corners[:, :4], planes.coeffs)
+    centers = 0.5 * (corners[:, 0] + corners[:, 2])
+    radii = 0.5 * jnp.linalg.norm(corners[:, 0] - corners[:, 2], axis=-1)
     geom = PlaneGeometry(ds_points=pts, ds_counts=counts, corners=corners,
                          centers=centers, radii=radii)
 
@@ -169,12 +168,13 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
             tests, pen, cfg.max_candidate_results)
         sel_valid = sel_valid & ~rejected
 
-    ov = overlap_mod.overlap_scores(
-        sR, st, sel_valid, src.ds.points, src.ds.count,
-        tgt.ds.points, tgt.ds.count, dsd)
-
     plane_frac = sel_counts.astype(jnp.float32) / jnp.maximum(
         src.planes.count.astype(jnp.float32), 1.0)
+    ov = overlap_mod.overlap_scores(
+        sR, st, sel_valid, src.ds.points, src.ds.count,
+        tgt.ds.points, tgt.ds.count, dsd,
+        plane_frac=plane_frac, face_weight=cfg.face_matches_weight,
+        exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid)
     score = cfg.face_matches_weight * plane_frac \
         + (1.0 - cfg.face_matches_weight) * ov
     score = jnp.where(sel_valid, score, -jnp.inf)

@@ -3,47 +3,123 @@
 Replaces ``ComputeOverlap`` (code/PLADE/util.h:611-647) and its calling loop
 (plade.cpp:545-575): per candidate, the fraction of downsampled source
 points that land within ``inlier_distance`` of a downsampled target point,
-normalized by min(|source|, |target|).
+normalized by min(|source|, |target|) (the reference's MIN at util.h:644 —
+so the ratio can exceed 1 when the source downsamples larger).
 
-The reference builds a fresh KD-tree per candidate over the sphere-clipped
-target subset; here one voxel-hash grid over the target is built once and
-all candidates' transformed clouds query it together.  (The coarse-sphere
-pre-clip of the reference is an optimization, not a semantic filter, and is
-dropped; distances are exact.)
+TPU design (profiling: per-query bucket walks are gather-bound and were 85%
+of pipeline time):
+
+  phase 1 — approximate, all candidates: one dense dilated voxel-occupancy
+    bitmap over the target (cell == inlier radius, 27-neighborhood dilation
+    via six axis-shift ORs).  Scoring a transformed source point is then a
+    single gather.  The dilated test is a *superset* of the exact radius
+    test: any point with a true neighbor within r passes.
+  phase 2 — exact, top-K candidates by approximate count: blocked dense
+    min-distance on the MXU (|q|^2 - 2 q.p + |p|^2 expansion).  The final
+    ranking among the survivors is exact.
+
+The reference's coarse-sphere pre-clip (util.h:622-636) is an optimization
+with negligible semantic effect (it can only exclude target points farther
+than the source radius from the source center) and is dropped.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ..knn import hashgrid
+from ..knn.bruteforce import min_dist_sq
+
+
+def build_occupancy(tgt_points, tmask, cell, grid: int = 256):
+    """Dense dilated occupancy bitmap of the target cloud.
+
+    Returns (bitmap (grid^3,) bool, origin (3,), cell ()).
+    ``cell`` is stretched when the cloud exceeds ``grid`` cells per side —
+    phase-2 exactness is unaffected (dilation stays a superset test).
+    """
+    big = jnp.float32(1e30)
+    pmin = jnp.min(jnp.where(tmask[:, None], tgt_points, big), axis=0)
+    pmax = jnp.max(jnp.where(tmask[:, None], tgt_points, -big), axis=0)
+    extent = jnp.max(pmax - pmin)
+    cell = jnp.maximum(jnp.asarray(cell, jnp.float32),
+                       extent / (grid - 1))
+    ijk = jnp.clip(jnp.floor((tgt_points - pmin) / cell).astype(jnp.int32),
+                   0, grid - 1)
+    flat = (ijk[:, 0] * grid + ijk[:, 1]) * grid + ijk[:, 2]
+    occ = jnp.zeros((grid * grid * grid,), jnp.bool_).at[
+        jnp.where(tmask, flat, grid ** 3)].set(True, mode="drop")
+    occ3 = occ.reshape(grid, grid, grid)
+
+    def dilate(axis):
+        def f(b):
+            z = jnp.zeros_like(jnp.take(b, jnp.arange(1), axis=axis))
+            fwd = jnp.concatenate(
+                [jnp.take(b, jnp.arange(1, grid), axis=axis), z], axis=axis)
+            bwd = jnp.concatenate(
+                [z, jnp.take(b, jnp.arange(0, grid - 1), axis=axis)],
+                axis=axis)
+            return b | fwd | bwd
+        return f
+
+    for axis in range(3):
+        occ3 = dilate(axis)(occ3)
+    return occ3.reshape(-1), pmin, cell
+
+
+def approx_overlap_counts(bitmap, origin, cell, R, t, src_points, smask,
+                          grid: int = 256):
+    """(C,) counts of source points whose dilated voxel test passes, for all
+    candidates at once (one big gather)."""
+    q = jnp.einsum("cij,sj->csi", R, src_points) + t[:, None, :]  # (C,S,3)
+    ijk = jnp.floor((q - origin) / cell).astype(jnp.int32)
+    inb = jnp.all((ijk >= 0) & (ijk < grid), axis=-1)
+    flat = (ijk[..., 0] * grid + ijk[..., 1]) * grid + ijk[..., 2]
+    hit = bitmap[jnp.where(inb, flat, 0)] & inb & smask[None, :]
+    return jnp.sum(hit.astype(jnp.int32), axis=1)
+
+
+def exact_overlap_counts(R, t, src_points, smask, tgt_points, r2):
+    """Exact per-candidate inlier counts via blocked MXU min-distance.
+    R: (K,3,3), t: (K,3)."""
+    def one(Rt):
+        Rc, tc = Rt
+        q = src_points @ Rc.T + tc
+        d2 = min_dist_sq(q, tgt_points)
+        return jnp.sum(((d2 <= r2) & smask).astype(jnp.int32))
+
+    return jax.lax.map(one, (R, t))
 
 
 def overlap_scores(R, t, cand_valid, src_points, src_count,
                    tgt_points, tgt_count, inlier_distance,
-                   chunk_candidates: int = 16, window: int = 8):
-    """(C,) overlap ratios.
+                   plane_frac=None, face_weight: float = 0.2,
+                   exact_k: int = 16, grid: int = 256):
+    """(C,) overlap ratios; exact for the ``exact_k`` best candidates by
+    approximate score, 0 for the rest (they cannot win the final argmax:
+    phase-1 ranking uses the same combined score the caller maximizes,
+    with overlap replaced by its superset approximation).
 
-    src_points: (D, 3) BIG-padded downsampled source; tgt_points likewise.
+    ``plane_frac`` (C,) lets phase-1 rank by the caller's full score
+    ``face_weight * plane_frac + (1-face_weight) * overlap``; None ranks by
+    overlap alone.
     """
     tmask = jnp.arange(tgt_points.shape[0]) < tgt_count
-    grid = hashgrid.build_grid(tgt_points, tmask, inlier_distance)
     smask = jnp.arange(src_points.shape[0]) < src_count
-    r2 = jnp.asarray(inlier_distance, jnp.float32) ** 2
+    r = jnp.asarray(inlier_distance, jnp.float32)
+    bitmap, origin, cell = build_occupancy(tgt_points, tmask, r, grid)
+    counts = approx_overlap_counts(bitmap, origin, cell, R, t,
+                                   src_points, smask, grid)
+    denom = jnp.maximum(jnp.minimum(src_count, tgt_count), 1).astype(
+        jnp.float32)
+    approx = counts.astype(jnp.float32) / denom
+    rank_score = approx if plane_frac is None else \
+        face_weight * plane_frac + (1.0 - face_weight) * approx
+    rank_score = jnp.where(cand_valid, rank_score, -jnp.inf)
 
-    def one(Rt_t):
-        Rc, tc, v = Rt_t
-        q = src_points @ Rc.T + tc
-        d2 = hashgrid.query_min_dist_sq(grid, q, window=window)
-        cnt = jnp.sum(((d2 <= r2) & smask).astype(jnp.int32))
-        denom = jnp.maximum(jnp.minimum(src_count, tgt_count), 1)
-        return jnp.where(v, cnt.astype(jnp.float32) / denom.astype(jnp.float32),
-                         0.0)
-
-    C = R.shape[0]
-    pad = (-C) % chunk_candidates
-    Rp = jnp.concatenate([R, jnp.tile(jnp.eye(3)[None], (pad, 1, 1))]) if pad else R
-    tp = jnp.concatenate([t, jnp.zeros((pad, 3))]) if pad else t
-    vp = jnp.concatenate([cand_valid, jnp.zeros(pad, bool)]) if pad else cand_valid
-    out = jax.lax.map(one, (Rp, tp, vp), batch_size=chunk_candidates)
-    return out[:C]
+    K = min(exact_k, R.shape[0])
+    _, top = jax.lax.top_k(rank_score, K)
+    exact = exact_overlap_counts(R[top], t[top], src_points, smask,
+                                 tgt_points, r * r)
+    out = jnp.zeros(R.shape[0], jnp.float32).at[top].set(
+        exact.astype(jnp.float32) / denom)
+    return jnp.where(cand_valid, out, 0.0)

@@ -1,0 +1,69 @@
+"""CLI tests mirroring the reference's two usage modes (main.cpp:30-159)."""
+import os
+
+import numpy as np
+import pytest
+
+from plade_tpu.cli.main import main
+from plade_tpu.io.ply import write_ply
+from plade_tpu.io.synthetic import make_room, random_rigid, transform_cloud
+
+from test_pipeline import SMALL_CFG  # reuse the small-shape config
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_scene")
+    rng = np.random.default_rng(0)
+    pts, nrm, _ = make_room(rng, n_per_plane=1200, noise=0.002, extra_planes=3)
+    R, t = random_rigid(rng, max_angle=1.5, max_trans=1.0)
+    spts, snrm = transform_cloud(pts, nrm, R.T, -R.T @ t)
+    tgt = str(d / "target.ply")
+    src = str(d / "source.ply")
+    write_ply(tgt, pts, nrm)
+    write_ply(src, spts, snrm)
+    return d, tgt, src, R, t
+
+
+def _patch_small_cfg(monkeypatch):
+    import plade_tpu.cli.main as climod
+    import plade_tpu.core.config as cfgmod
+    monkeypatch.setattr(cfgmod, "PladeConfig",
+                        lambda **kw: SMALL_CFG)
+
+
+def test_single_pair_mode(scene, monkeypatch):
+    d, tgt, src, R, t = scene
+    _patch_small_cfg(monkeypatch)
+    out = str(d / "result.txt")
+    rc = main([tgt, src, out])
+    assert rc == 0
+    text = open(out).read()
+    assert f"target: {tgt}" in text and f"source: {src}" in text
+    assert "transformation:" in text
+    rows = [l.split() for l in text.splitlines()[3:7]]
+    T = np.asarray(rows, np.float64)
+    assert np.allclose(T[3], [0, 0, 0, 1])
+    c = (np.trace(R.T @ T[:3, :3]) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 3.0
+
+
+def test_batch_mode_with_missing_file(scene, monkeypatch, capsys):
+    d, tgt, src, R, t = scene
+    _patch_small_cfg(monkeypatch)
+    pairs = str(d / "pairs.txt")
+    with open(pairs, "w") as f:
+        f.write(f"{tgt}\n{src}\n")
+        f.write(f"{d}/nonexistent.ply\n")  # skipped with a warning
+    out = str(d / "batch_results.txt")
+    rc = main([pairs, out])
+    assert rc == 0
+    text = open(out).read()
+    assert text.count("transformation:") == 1
+    err = capsys.readouterr().err
+    assert "doesn't exist" in err
+
+
+def test_usage_error():
+    with pytest.raises(SystemExit):
+        main(["only-one-path"])
