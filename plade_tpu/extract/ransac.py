@@ -146,9 +146,12 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         cand_p = points[seeds]
         cand_d = -jnp.sum(cand_n * cand_p, axis=-1)
 
-        # exact scoring of all candidates on all points (MXU)
-        dist = jnp.abs(points @ cand_n.T + cand_d[None, :])        # (N, S)
-        ndot = jnp.abs(normals @ cand_n.T)                          # (N, S)
+        # exact scoring of all candidates on all points (MXU; full f32 —
+        # eps sits near bf16 noise of O(1) coordinates)
+        hi = jax.lax.Precision.HIGHEST
+        dist = jnp.abs(jnp.dot(points, cand_n.T, precision=hi)
+                       + cand_d[None, :])                           # (N, S)
+        ndot = jnp.abs(jnp.dot(normals, cand_n.T, precision=hi))    # (N, S)
         compat = (dist < eps) & (ndot > cfg.ransac_normal_thresh) & free[:, None]
         counts = jnp.sum(compat.astype(jnp.int32), axis=0)          # (S,)
         best = jnp.argmax(counts)

@@ -4,14 +4,29 @@ Replaces ``pcl::VoxelGrid`` / ``DownSamplePointCloud`` (code/PLADE/util.h:
 161-184): every occupied voxel of side ``leaf`` contributes the centroid of
 its points.  TPU formulation: lexsort points by integer cell coordinates,
 mark segment boundaries, scatter-mean into a padded output buffer.
-Overflowing cells beyond ``max_out`` are dropped (callers size ``max_out``
-generously; the reference output is unbounded).
+
+Cells are ordered by a *hash* of their coordinates (ties broken by the
+coordinates), not by the raw lexicographic cell key: the output buffer is
+fixed-size, and when a cloud occupies more than ``max_out`` cells the
+overflow must drop a spatially *uniform* subset.  Prefix-truncating a
+coordinate-sorted cell list would keep an axis-aligned slab — source and
+target clouds would then retain different regions and every downstream
+overlap/penetration statistic would silently compare disjoint geometry.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from ..core.types import BIG, Cloud
+
+# Classic spatial-hash primes (Teschner et al. 2003).
+_HX = jnp.int32(73856093)
+_HY = jnp.int32(19349663)
+_HZ = jnp.int32(83492791)
+
+
+def _cell_hash(ix, iy, iz):
+    return (ix * _HX) ^ (iy * _HY) ^ (iz * _HZ)
 
 
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
@@ -27,18 +42,25 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
     big = jnp.float32(1e30)
     pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     ijk = jnp.floor((points - pmin) / leaf).astype(jnp.int32)
-    # Invalid points get unique sentinel cells sorting after all valid cells.
-    sentinel = jnp.int32(2**30)
+    # Sort by (valid, cell hash, cell coords): equal cells stay adjacent;
+    # truncation at max_out keeps a hash-uniform subset of cells; invalid
+    # points get unique sentinel keys sorting after all valid cells.
     arange = jnp.arange(n, dtype=jnp.int32)
-    ix = jnp.where(mask, ijk[:, 0], sentinel + arange)
-    iy = jnp.where(mask, ijk[:, 1], 0)
-    iz = jnp.where(mask, ijk[:, 2], 0)
-    order = jnp.lexsort((iz, iy, ix))
+    h = _cell_hash(ijk[:, 0], ijk[:, 1], ijk[:, 2])
+    inval = (~mask).astype(jnp.int32)
+    hkey = jnp.where(mask, h, arange)
+    ix = ijk[:, 0]
+    iy = ijk[:, 1]
+    iz = ijk[:, 2]
+    order = jnp.lexsort((iz, iy, ix, hkey, inval))
     sx, sy, sz = ix[order], iy[order], iz[order]
+    sh = hkey[order]
+    si = inval[order]
     sp = points[order]
     sm = mask[order]
     changed = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
+        (si[1:] != si[:-1]) | (sh[1:] != sh[:-1]) |
         (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
     ])
     seg = jnp.cumsum(changed.astype(jnp.int32)) - 1  # segment id per point
@@ -83,19 +105,23 @@ def voxel_downsample_by_plane(points: jnp.ndarray, mask: jnp.ndarray,
     big = jnp.float32(1e30)
     pmin = jnp.min(jnp.where(ok[:, None], points, big), axis=0)
     ijk = jnp.floor((points - pmin) / leaf).astype(jnp.int32)
-    sentinel = jnp.int32(2**30)
     arange = jnp.arange(n, dtype=jnp.int32)
     kp = jnp.where(ok, point_plane, num_planes)
-    kx = jnp.where(ok, ijk[:, 0], sentinel + arange)
-    ky = jnp.where(ok, ijk[:, 1], 0)
-    kz = jnp.where(ok, ijk[:, 2], 0)
-    order = jnp.lexsort((kz, ky, kx, kp))
+    # hash-ordered cells within each plane: per-plane truncation at max_out
+    # drops a uniform subset, not an axis-aligned slab (see module docstring)
+    h = _cell_hash(ijk[:, 0], ijk[:, 1], ijk[:, 2])
+    kh = jnp.where(ok, h, arange)
+    kx = ijk[:, 0]
+    ky = ijk[:, 1]
+    kz = ijk[:, 2]
+    order = jnp.lexsort((kz, ky, kx, kh, kp))
     sp_, sm = points[order], ok[order]
     spl = kp[order]
+    sh = kh[order]
     sx, sy, sz = kx[order], ky[order], kz[order]
     changed = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
-        (spl[1:] != spl[:-1]) | (sx[1:] != sx[:-1]) |
+        (spl[1:] != spl[:-1]) | (sh[1:] != sh[:-1]) | (sx[1:] != sx[:-1]) |
         (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
     ])
     seg = jnp.cumsum(changed.astype(jnp.int32)) - 1

@@ -24,7 +24,11 @@ def _block_dist_sq(q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     expansion; the cross term is an MXU matmul."""
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     rr = jnp.sum(r * r, axis=-1)
-    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+    # precision=highest is load-bearing: bf16 MXU inputs put O(1e-2) noise
+    # on the cancelled expansion, swamping spacing-scale distances (see
+    # package docstring)
+    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(qq - 2.0 * cross + rr[None, :], 0.0)
 
 

@@ -56,7 +56,9 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
         qblock, base = qb
         qq = jnp.sum(qblock * qblock, axis=-1, keepdims=True)
         d2 = qq - 2.0 * jnp.dot(qblock, td.T,
-                                preferred_element_type=jnp.float32) + tt[None, :]
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST) \
+            + tt[None, :]
         hit = d2 <= r2                                   # (block, T)
         flat = hit.reshape(-1)
         idx = jnp.nonzero(flat, size=per_block_cap, fill_value=block * T)[0]

@@ -164,7 +164,8 @@ def _d2(a, b):
     aa = jnp.sum(a * a, axis=-1)                                # (k,M)
     bb = jnp.sum(b * b, axis=-1)                                # (k,S)
     cross = jnp.einsum("kmi,ksi->kms", a, b,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(aa[..., None] - 2.0 * cross + bb[:, None, :], 0.0)
 
 
