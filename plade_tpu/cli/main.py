@@ -11,6 +11,11 @@ Extensions over the reference (flagged, defaults match reference behavior):
                  reproducibility)
   --device-batch run batch pairs through the sharded device pipeline
                  (dist/mesh) instead of the sequential host loop
+  --resume       batch mode: record per-pair results in a sidecar state
+                 file and skip already-completed pairs on restart
+                 (checkpoint/resume — absent from the reference)
+  scene DIR OUT  register a scan directory pairwise + pose-graph sync
+  view RES OUT   headless ResultViewer: export the registered first pair
 """
 from __future__ import annotations
 
@@ -55,18 +60,32 @@ def main(argv=None) -> int:
     parser.add_argument("--device-batch", action="store_true",
                         help="batch mode: run pairs through the sharded "
                              "device pipeline")
+    parser.add_argument("--resume", action="store_true",
+                        help="batch mode: checkpoint per-pair results and "
+                             "skip completed pairs on restart")
+    parser.add_argument("--loop-stride", type=int, default=0,
+                        help="scene mode: extra loop-closure pairs (i, i+k)")
+    parser.add_argument("--gt", default=None,
+                        help="scene mode: ground-truth pose file")
     args = parser.parse_args(argv)
 
     from ..core.config import PladeConfig
     cfg = PladeConfig(enable_icp=True) if args.icp else PladeConfig()
 
+    if args.paths[0] == "scene" and len(args.paths) == 3:
+        from .scene import run_scene
+        return run_scene(args.paths[1], args.paths[2], cfg, args.seed,
+                         args.loop_stride, args.gt)
+    if args.paths[0] == "view" and len(args.paths) == 3:
+        from .scene import export_view
+        return export_view(args.paths[1], args.paths[2])
     if len(args.paths) == 3:
         target, source, result_file = args.paths
         return _run_single(target, source, result_file, cfg, args.seed)
     if len(args.paths) == 2:
         pairs_file, result_file = args.paths
         return _run_batch(pairs_file, result_file, cfg, args.seed,
-                          args.device_batch)
+                          args.device_batch, args.resume)
     parser.error("expected 2 (batch) or 3 (single pair) positional paths")
     return 2
 
@@ -116,7 +135,35 @@ def _read_pairs(pairs_file):
     return pairs
 
 
-def _run_batch(pairs_file, result_file, cfg, seed, device_batch) -> int:
+def _load_state(state_file):
+    """Completed pairs from a previous interrupted run:
+    {(target, source): (T, ok)}."""
+    import json
+    done = {}
+    if os.path.isfile(state_file):
+        with open(state_file) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    done[(rec["target"], rec["source"])] = (
+                        np.asarray(rec["T"], np.float64), bool(rec["ok"]))
+                except (ValueError, KeyError):
+                    continue  # torn write from a crash — redo that pair
+    return done
+
+
+def _append_state(state_file, target, source, T, ok):
+    import json
+    with open(state_file, "a") as f:
+        f.write(json.dumps({"target": target, "source": source,
+                            "T": np.asarray(T).tolist(), "ok": bool(ok)})
+                + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _run_batch(pairs_file, result_file, cfg, seed, device_batch,
+               resume=False) -> int:
     from ..pipeline import register_files
     try:
         pairs = _read_pairs(pairs_file)
@@ -124,6 +171,12 @@ def _run_batch(pairs_file, result_file, cfg, seed, device_batch) -> int:
         print(f"failed opening the file containing pairs of point cloud "
               f"names: {pairs_file}", file=sys.stderr)
         return 1
+
+    state_file = result_file + ".state.jsonl"
+    done = _load_state(state_file) if resume else {}
+    if done:
+        print(f"resuming: {len(done)} pairs already completed",
+              file=sys.stderr)
 
     try:
         out = open(result_file, "w")
@@ -135,12 +188,18 @@ def _run_batch(pairs_file, result_file, cfg, seed, device_batch) -> int:
     n_success = n_failure = 0
     with out:
         if device_batch and pairs:
-            results = _register_batch_device(pairs, cfg, seed)
+            todo = [p for p in pairs if p not in done]
+            results_map = dict(zip(todo, _register_batch_device(
+                todo, cfg, seed))) if todo else {}
         else:
-            results = None
-        for i, (target, source) in enumerate(pairs):
-            if results is not None:
-                T, ok = results[i]
+            results_map = None
+        for target, source in pairs:
+            if (target, source) in done:
+                T, ok = done[(target, source)]
+            elif results_map is not None:
+                T, ok = results_map[(target, source)]
+                if resume:
+                    _append_state(state_file, target, source, T, ok)
             else:
                 try:
                     T, info = register_files(target, source, cfg, seed)
@@ -148,10 +207,14 @@ def _run_batch(pairs_file, result_file, cfg, seed, device_batch) -> int:
                 except (ValueError, FileNotFoundError) as e:
                     print(f"registration failed: {e}", file=sys.stderr)
                     T, ok = np.eye(4), False
+                if resume:
+                    _append_state(state_file, target, source, T, ok)
             _write_single(out, target, source, T, ok)
             out.write("\n")
             n_success += ok
             n_failure += not ok
+    if resume and os.path.isfile(state_file) and n_failure == 0:
+        os.remove(state_file)  # clean finish -> drop the checkpoint
 
     if n_success == 0:
         print(f"registration all failed ({n_failure} pairs)", file=sys.stderr)

@@ -67,3 +67,46 @@ def test_batch_mode_with_missing_file(scene, monkeypatch, capsys):
 def test_usage_error():
     with pytest.raises(SystemExit):
         main(["only-one-path"])
+
+
+def test_batch_resume_skips_completed(scene, monkeypatch, capsys):
+    d, tgt, src, R, t = scene
+    _patch_small_cfg(monkeypatch)
+    pairs = str(d / "pairs_resume.txt")
+    with open(pairs, "w") as f:
+        f.write(f"{tgt}\n{src}\n")
+    out = str(d / "resume_results.txt")
+    state = out + ".state.jsonl"
+    # pre-seed the state file with a fake completed result: resume must
+    # reuse it without re-running the pipeline
+    import json
+    fakeT = np.diag([1.0, 1.0, 1.0, 1.0])
+    with open(state, "w") as f:
+        f.write(json.dumps({"target": tgt, "source": src,
+                            "T": fakeT.tolist(), "ok": True}) + "\n")
+    rc = main(["--resume", pairs, out])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "resuming: 1 pairs" in err
+    text = open(out).read()
+    rows = [l.split() for l in text.splitlines()[3:7]]
+    T = np.asarray(rows, np.float64)
+    assert np.allclose(T, fakeT)  # the checkpointed matrix, not a re-run
+    assert not os.path.exists(state)  # clean finish drops the checkpoint
+
+
+def test_view_export(scene, monkeypatch, tmp_path):
+    d, tgt, src, R, t = scene
+    _patch_small_cfg(monkeypatch)
+    res = str(d / "result.txt")
+    if not os.path.exists(res):
+        assert main([tgt, src, res]) == 0
+    prefix = str(tmp_path / "view")
+    rc = main(["view", res, prefix])
+    assert rc == 0
+    from plade_tpu.io.ply import read_ply
+    tp, _ = read_ply(prefix + "_target.ply")
+    sp2, _ = read_ply(prefix + "_source_registered.ply")
+    # registered source should lie near the target (same scene)
+    assert tp.shape[1] == 3 and sp2.shape[1] == 3
+    assert np.linalg.norm(sp2.mean(0) - tp.mean(0)) < 0.5
