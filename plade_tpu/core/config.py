@@ -58,10 +58,13 @@ class PladeConfig:
     ransac_candidates_per_round: int = 256
     #: least-squares refit rounds per accepted plane (RansacShapeDetector.cpp:633)
     ransac_refit_rounds: int = 3
-    #: bitmap connected-component resolution (cells per side)
-    bitmap_grid: int = 256
-    #: flood-fill iterations for connected components
-    bitmap_cc_iters: int = 192
+    #: bitmap connected-component resolution (cells per side; the cell is
+    #: stretched when a plane spans more cells, mirroring the reference's
+    #: extent-sized bitmap)
+    bitmap_grid: int = 64
+    #: CC label-propagation iterations (with pointer jumping each step
+    #: covers a doubling propagation radius; 16 saturates a 64^2 grid)
+    bitmap_cc_iters: int = 16
 
     # ----- average spacing (util.cpp:1619-1648) -----
     spacing_k: int = 6

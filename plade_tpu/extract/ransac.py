@@ -80,14 +80,25 @@ class _State(NamedTuple):
     sizes: jnp.ndarray         # (P,) int32
     num_planes: jnp.ndarray    # () int32
     fail_streak: jnp.ndarray   # () int32 — consecutive rounds w/o a plane
+    min_support: jnp.ndarray   # () int32 — current support threshold
+    done: jnp.ndarray          # () bool
 
 
 def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
     """Keep the inlier points lying in the largest connected component of
-    the occupancy bitmap over in-plane coords ``uv`` (N, 2)."""
+    the occupancy bitmap over in-plane coords ``uv`` (N, 2).
+
+    The cell is stretched when the plane's extent exceeds ``grid`` cells —
+    the reference sizes its bitmap exactly to extent/cell
+    (BitmapPrimitiveShape.cpp:97-130), typically a few dozen cells per
+    side, so a small fixed grid loses nothing on ordinary planes and only
+    coarsens the trim for extreme aspect ratios."""
     big = jnp.float32(1e30)
     umin = jnp.min(jnp.where(inlier[:, None], uv, big), axis=0)
-    ij = jnp.floor((uv - umin) / jnp.maximum(cell, _EPS)).astype(jnp.int32)
+    umax = jnp.max(jnp.where(inlier[:, None], uv, -big), axis=0)
+    extent = jnp.max(umax - umin)
+    cell = jnp.maximum(jnp.maximum(cell, _EPS), extent / (grid - 1))
+    ij = jnp.floor((uv - umin) / cell).astype(jnp.int32)
     ij = jnp.clip(ij, 0, grid - 1)
     flat = ij[:, 0] * grid + ij[:, 1]
     occ_counts = jnp.zeros((grid * grid,), jnp.int32).at[flat].add(
@@ -105,7 +116,11 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
         return cross(dil, jnp.logical_and, True) | bitmap
 
     closed = close(occ)
-    # connected components: iterated 8-neighbor min-label propagation
+    # connected components: 8-neighbor min-label propagation accelerated
+    # with pointer jumping (labels <- labels[labels]), which squares the
+    # effective propagation distance per iteration — ~16 iterations cover
+    # any component shape on a 256^2 grid vs ~2*grid for pure local
+    # stencils (the former 192-step sequential chain dominated extraction)
     idx = jnp.arange(grid * grid, dtype=jnp.int32).reshape(grid, grid)
     inf_label = jnp.int32(grid * grid)
     labels = jnp.where(closed, idx, inf_label)
@@ -116,7 +131,12 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
         for di in (0, 1, 2):
             for dj in (0, 1, 2):
                 m = jnp.minimum(m, p[di:di + grid, dj:dj + grid])
-        return jnp.where(closed, m, inf_label)
+        m = jnp.where(closed, m, inf_label)
+        # pointer jump: follow the current representative one hop
+        flat = m.reshape(-1)
+        safe = jnp.minimum(flat, grid * grid - 1)
+        jumped = jnp.where(flat < inf_label, flat[safe], inf_label)
+        return jnp.minimum(m, jumped.reshape(grid, grid))
 
     labels = jax.lax.fori_loop(0, cc_iters, prop, labels)
     # component size in points: scatter point counts by their cell's label
@@ -137,11 +157,17 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
     cc_iters = cfg.bitmap_cc_iters
 
     def round_body(state: _State, points, normals, valid, eps, bitmap_eps,
-                   min_support):
+                   floor_support, min_planes):
+        min_support = state.min_support
         key, k1 = jax.random.split(state.key)
         free = valid & ~state.assigned
-        logits = jnp.where(free, 0.0, -jnp.inf)
-        seeds = jax.random.categorical(k1, logits, shape=(S,))
+        # S distinct uniform seeds among free points via the Gumbel top-k
+        # trick: one noise vector + one top-k, instead of categorical's S
+        # independent 131k-gumbel draws (which dominated the round cost)
+        g = jax.random.uniform(k1, (free.shape[0],))
+        scores = jnp.where(free, g, -1.0)
+        _, seeds = jax.lax.approx_max_k(scores.reshape(1, -1), S)
+        seeds = seeds[0]
         cand_n = _normalize(normals[seeds])
         cand_p = points[seeds]
         cand_d = -jnp.sum(cand_n * cand_p, axis=-1)
@@ -197,21 +223,48 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             state.coeffs)
         new_sizes = jnp.where(accept, state.sizes.at[pid].set(support),
                               state.sizes)
+        fail_streak = jnp.where(accept, 0, state.fail_streak + 1)
+        num_planes = jnp.where(accept, pid + 1, pid)
+
+        # auto-tune schedule on device (reference extract(), plade.cpp:
+        # 602-635): a streak of failed redraws at the current support level
+        # halves it — but only while we still lack min_planes planes;
+        # otherwise the level is exhausted and extraction ends.  One pass
+        # replaces the reference's up-to-10 full detector re-runs.
+        exhausted = fail_streak >= 3
+        need_more = num_planes < min_planes
+        can_halve = min_support > floor_support
+        halve = exhausted & need_more & can_halve
+        new_support = jnp.where(
+            halve, jnp.maximum(min_support // 2, floor_support), min_support)
+        done = (exhausted & ~(need_more & can_halve)) | \
+            (num_planes >= max_extract)
         return _State(
             key=key,
             assigned=new_assigned,
             point_plane=new_point_plane,
             coeffs=new_coeffs,
             sizes=new_sizes,
-            num_planes=jnp.where(accept, pid + 1, pid),
-            fail_streak=jnp.where(accept, 0, state.fail_streak + 1),
+            num_planes=num_planes,
+            fail_streak=jnp.where(halve, 0, fail_streak),
+            min_support=new_support,
+            done=done,
         )
 
-    def extract(points, normals, count, key, min_support):
+    def extract(points, normals, count, key, floor_support,
+                init_support=None, min_planes=None):
         """points/normals: (N, 3) BIG-padded; count: () int32.
 
         Returns a PlaneSet padded to ``max_extract`` planes, greedy order.
+        The support threshold starts at ``init_support`` (default: the
+        reference's 10000) and halves down to ``floor_support`` whenever a
+        redraw streak fails while fewer than ``min_planes`` planes exist —
+        the device-resident form of the reference auto-tuner.
         """
+        if init_support is None:
+            init_support = cfg.ransac_init_min_support
+        if min_planes is None:
+            min_planes = cfg.min_planes
         valid = jnp.arange(num_points) < count
         safe_pts = jnp.where(valid[:, None], points, 0.0)
         big = jnp.float32(1e30)
@@ -229,16 +282,18 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             sizes=jnp.zeros((max_extract,), jnp.int32),
             num_planes=jnp.asarray(0, jnp.int32),
             fail_streak=jnp.asarray(0, jnp.int32),
+            min_support=jnp.maximum(jnp.asarray(init_support, jnp.int32),
+                                    jnp.asarray(floor_support, jnp.int32)),
+            done=jnp.asarray(False),
         )
 
-        # a failed round only proves the 256 drawn seeds were bad; allow a
-        # couple of redraws before concluding no plane >= min_support is left
         def cond(s):
-            return (s.fail_streak < 3) & (s.num_planes < max_extract)
+            return ~s.done
 
         def body(s):
             return round_body(s, safe_pts, normals, valid, eps, bitmap_eps,
-                              min_support)
+                              jnp.asarray(floor_support, jnp.int32),
+                              jnp.asarray(min_planes, jnp.int32))
 
         final = jax.lax.while_loop(cond, body, init)
         return PlaneSet(coeffs=final.coeffs, sizes=final.sizes,

@@ -41,34 +41,35 @@ def _blocks(refs: jnp.ndarray, block: int) -> jnp.ndarray:
     return refs.reshape(-1, block, 3)
 
 
-def _on_tpu() -> bool:
-    """True when tracing for the TPU backend (Pallas path); tests pin the
-    default device to the virtual CPU mesh and take the jnp fallback."""
-    dev = jax.config.jax_default_device
-    if dev is not None:
-        return dev.platform == "tpu"
-    return jax.default_backend() == "tpu"
-
-
 def min_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray,
                 block: int = 2048) -> jnp.ndarray:
     """Per-query squared distance to the nearest reference point.
 
-    Dispatches to the Pallas tiled NN kernel on TPU (kernels/nn.py —
-    measured ~470x over the scan-of-matmuls formulation, which pays 6-pass
-    f32 matmul passes for a K=3 contraction); blocked jnp elsewhere.
+    Lowers to the Pallas tiled NN kernel on TPU (kernels/nn.py — measured
+    ~470x over the scan-of-matmuls formulation, which pays 6-pass f32
+    matmul passes for a K=3 contraction); blocked jnp elsewhere.  The
+    branch is resolved per lowering platform (lax.platform_dependent):
+    backend sniffing misfires here because the TPU plugin stays the
+    default backend even when computations are placed on CPU devices
+    (virtual-mesh tests, driver dry-runs).
     """
-    if _on_tpu():
+    def _pallas(q, r):
         from ..kernels.nn import min_dist_sq as pallas_min_dist_sq
-        return pallas_min_dist_sq(queries, refs)
-    rb = _blocks(refs, block)
+        return pallas_min_dist_sq(q, r)
 
-    def step(carry, r):
-        return jnp.minimum(carry, jnp.min(_block_dist_sq(queries, r), axis=1)), None
+    def _jnp(q, r):
+        rb = _blocks(r, block)
 
-    init = jnp.full((queries.shape[0],), jnp.inf, jnp.float32)
-    out, _ = jax.lax.scan(step, init, rb)
-    return out
+        def step(carry, rr):
+            return jnp.minimum(
+                carry, jnp.min(_block_dist_sq(q, rr), axis=1)), None
+
+        init = jnp.full((q.shape[0],), jnp.inf, jnp.float32)
+        out, _ = jax.lax.scan(step, init, rb)
+        return out
+
+    return jax.lax.platform_dependent(queries, refs,
+                                      tpu=_pallas, default=_jnp)
 
 
 def count_within(queries: jnp.ndarray, refs: jnp.ndarray, radius,
@@ -90,25 +91,31 @@ def nearest_neighbor(queries: jnp.ndarray, refs: jnp.ndarray,
     """Per-query (squared distance, index) of the nearest reference point.
 
     Pallas kernel on TPU, blocked jnp elsewhere (see min_dist_sq)."""
-    if _on_tpu():
+    def _pallas(q, r):
         from ..kernels.nn import nearest_neighbor as pallas_nn
-        return pallas_nn(queries, refs)
-    rb = _blocks(refs, block)
+        return pallas_nn(q, r)
 
-    def step(carry, rb_base):
-        best_d, best_i = carry
-        r, base = rb_base
-        d = _block_dist_sq(queries, r)
-        bd = jnp.min(d, axis=1)
-        bi = jnp.argmin(d, axis=1).astype(jnp.int32) + base
-        take = bd < best_d
-        return (jnp.where(take, bd, best_d), jnp.where(take, bi, best_i)), None
+    def _jnp(q, r):
+        rb = _blocks(r, block)
 
-    init = (jnp.full((queries.shape[0],), jnp.inf, jnp.float32),
-            jnp.zeros((queries.shape[0],), jnp.int32))
-    bases = jnp.arange(rb.shape[0], dtype=jnp.int32) * block
-    (d2, idx), _ = jax.lax.scan(step, init, (rb, bases))
-    return d2, idx
+        def step(carry, rb_base):
+            best_d, best_i = carry
+            rr, base = rb_base
+            d = _block_dist_sq(q, rr)
+            bd = jnp.min(d, axis=1)
+            bi = jnp.argmin(d, axis=1).astype(jnp.int32) + base
+            take = bd < best_d
+            return (jnp.where(take, bd, best_d),
+                    jnp.where(take, bi, best_i)), None
+
+        init = (jnp.full((q.shape[0],), jnp.inf, jnp.float32),
+                jnp.zeros((q.shape[0],), jnp.int32))
+        bases = jnp.arange(rb.shape[0], dtype=jnp.int32) * block
+        (d2, idx), _ = jax.lax.scan(step, init, (rb, bases))
+        return d2, idx
+
+    return jax.lax.platform_dependent(queries, refs,
+                                      tpu=_pallas, default=_jnp)
 
 
 def topk_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray, k: int,

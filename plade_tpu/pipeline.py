@@ -228,12 +228,18 @@ def build_register_device_fn(cfg: PladeConfig, num_points: int):
     def step(tgt_cloud: Cloud, src_cloud: Cloud, key) -> RegistrationResult:
         k1, k2 = jax.random.split(key)
         floor = jnp.int32(cfg.ransac_min_allowed_support)
+        # both clouds extract in one vmapped while_loop: their greedy
+        # rounds run in lockstep on device, halving the sequential depth
+        # of the pipeline's dominant stage
+        both = jax.vmap(lambda p, n, c, k: extract(p, n, c, k, floor))(
+            jnp.stack([tgt_cloud.points, src_cloud.points]),
+            jnp.stack([tgt_cloud.normals, src_cloud.normals]),
+            jnp.stack([tgt_cloud.count, src_cloud.count]),
+            jnp.stack([k1, k2]))
         tgt_planes = ransac.select_planes_device(
-            extract(tgt_cloud.points, tgt_cloud.normals, tgt_cloud.count,
-                    k1, floor), cfg)
+            jax.tree.map(lambda x: x[0], both), cfg)
         src_planes = ransac.select_planes_device(
-            extract(src_cloud.points, src_cloud.normals, src_cloud.count,
-                    k2, floor), cfg)
+            jax.tree.map(lambda x: x[1], both), cfg)
         enough = (tgt_planes.count >= cfg.min_planes) & \
             (src_planes.count >= cfg.min_planes)
 
