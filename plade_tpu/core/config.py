@@ -77,20 +77,20 @@ class PladeConfig:
     enable_penetration_filter: bool = True
     #: exact-overlap verification budget (phase 2 of the two-phase scorer;
     #: phase 1 ranks all candidates by a superset-approximate score)
-    overlap_exact_k: int = 16
+    overlap_exact_k: int = 8
     #: dense occupancy bitmap resolution (cells per side)
     overlap_grid: int = 256
 
     # ----- padded shapes (TPU static-shape budget) -----
     max_points: int = 131072          #: padded full-resolution cloud size
     max_ds_points: int = 16384        #: padded downsampled cloud size
-    max_plane_points: int = 4096      #: padded per-plane downsampled points
+    max_plane_points: int = 2048      #: padded per-plane downsampled points
     max_lines: int = 256              #: padded intersection-line count
     max_query_pairs: int = 8192       #: padded source line-pair count
     max_target_pairs: int = 16384     #: padded target descriptor count
     max_matches: int = 32768          #: padded (query, target) match count
     max_pose_clusters: int = 2048     #: pose bins kept after clustering
-    max_penetration_tests: int = 16384  #: compacted penetration point-tests
+    max_penetration_tests: int = 8192   #: compacted penetration point-tests
 
     # ----- ICP refinement (new vs reference; BASELINE.json configs) -----
     icp_iters: int = 20
