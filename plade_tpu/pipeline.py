@@ -249,8 +249,16 @@ def build_register_device_fn(cfg: PladeConfig, num_points: int):
         lt = cfg.length_factor * sp
         scale = lt / math.cos(math.pi / 2 - cfg.angle_threshold)
 
-        tgt_prep = _prepare_cloud_impl(tgt_cloud, tgt_planes, dsd, cfg)
-        src_prep = _prepare_cloud_impl(src_cloud, src_planes, dsd, cfg)
+        # both preparations vmapped in lockstep (downsample sorts + OBBs
+        # are the stage's cost; see extraction note above)
+        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                               tgt_cloud, src_cloud)
+        planes2 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                               tgt_planes, src_planes)
+        preps = jax.vmap(lambda c, p: _prepare_cloud_impl(c, p, dsd, cfg))(
+            stacked, planes2)
+        tgt_prep = jax.tree.map(lambda x: x[0], preps)
+        src_prep = jax.tree.map(lambda x: x[1], preps)
         res = _register_pair_impl(tgt_prep, src_prep, (scale, lt, dsd), cfg)
         success = res.success & enough
         return RegistrationResult(
