@@ -290,12 +290,17 @@ def _pad_size(n: int, minimum: int = 4096) -> int:
 
 
 def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
-                    cfg: PladeConfig = PladeConfig(), seed: int = 0):
+                    cfg: PladeConfig = PladeConfig(), seed: int = 0,
+                    ransac_min_support=None):
     """Register source onto target from raw numpy clouds.
 
     Mirrors the file-level reference entry (plade.cpp:665-707): swaps
     target/source when the source is >= 1.2x larger (the result is inverted
     back), auto-tunes plane extraction, then runs the device pipeline.
+
+    ``ransac_min_support`` mirrors the explicit-min-support overload
+    (plade.cpp:583-599): an int or a (target, source) pair pins the RANSAC
+    support threshold instead of auto-tuning.
 
     Returns (transform 4x4 np.ndarray, info dict).
     """
@@ -311,10 +316,25 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
 
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
-    tgt_planes = ransac.auto_extract(tgt_cloud.points, tgt_cloud.normals,
-                                     tgt_cloud.count, k1, cfg, pad)
-    src_planes = ransac.auto_extract(src_cloud.points, src_cloud.normals,
-                                     src_cloud.count, k2, cfg, pad)
+    if ransac_min_support is None:
+        tgt_planes = ransac.auto_extract(tgt_cloud.points, tgt_cloud.normals,
+                                         tgt_cloud.count, k1, cfg, pad)
+        src_planes = ransac.auto_extract(src_cloud.points, src_cloud.normals,
+                                         src_cloud.count, k2, cfg, pad)
+    else:
+        if isinstance(ransac_min_support, int):
+            ms_t = ms_s = ransac_min_support
+        else:
+            ms_t, ms_s = ransac_min_support
+        if swapped:
+            ms_t, ms_s = ms_s, ms_t
+        extractor = ransac._cached_extractor(cfg, pad)
+        tgt_planes = ransac.select_planes(
+            extractor(tgt_cloud.points, tgt_cloud.normals, tgt_cloud.count,
+                      k1, jnp.int32(ms_t), init_support=ms_t), cfg)
+        src_planes = ransac.select_planes(
+            extractor(src_cloud.points, src_cloud.normals, src_cloud.count,
+                      k2, jnp.int32(ms_s), init_support=ms_s), cfg)
 
     info = {"swapped": swapped,
             "tgt_planes": int(tgt_planes.count),

@@ -157,3 +157,41 @@ def test_point_segment_distance():
     p = jnp.array([[0.5, 1.0, 0.0], [2.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
     d = lines.point_segment_distance(p, a, b)
     np.testing.assert_allclose(np.asarray(d), [1.0, 1.0, 1.0], atol=1e-6)
+
+
+def test_pair_descriptors_rigid_invariant(rng):
+    """The 8-D pair-line descriptor must be invariant under a rigid motion
+    of the whole scene (it is built from distances and angle cosines —
+    ComputeDescriptorVectorForPairLines, util.cpp:533-602)."""
+    import math
+    from plade_tpu.core.types import LineSet
+    from plade_tpu.descriptors.pairlines import pair_descriptors
+
+    L = 6
+    normals = rng.normal(size=(8, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    support = rng.integers(0, 8, size=(L, 2)).astype(np.int32)
+    # line directions consistent with supports: u = n1 x n2
+    u = np.cross(normals[support[:, 0]], normals[support[:, 1]])
+    u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-9)
+    p = rng.normal(size=(L, 3)).astype(np.float32)
+
+    def build(u, p, normals):
+        lines = LineSet(direction=jnp.asarray(u, jnp.float32),
+                        point=jnp.asarray(p, jnp.float32),
+                        support=jnp.asarray(support),
+                        count=jnp.asarray(L, jnp.int32))
+        return pair_descriptors(lines, jnp.asarray(normals, jnp.float32),
+                                jnp.float32(0.5), 32, ordered=False,
+                                min_angle_cos=math.cos(math.radians(10)))
+    d0 = build(u, p, normals)
+    # random rotation via QR
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    t = rng.normal(size=3)
+    d1 = build(u @ Q.T, p @ Q.T + t, normals @ Q.T)
+    n = int(d0.count)
+    np.testing.assert_allclose(np.asarray(d0.desc)[:n],
+                               np.asarray(d1.desc)[:n], atol=2e-4)

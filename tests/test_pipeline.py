@@ -65,3 +65,18 @@ def test_register_identity_pair():
     assert rotation_error_deg(T[:3, :3], np.eye(3)) < 2.0
     assert np.linalg.norm(T[:3, 3]) < 0.1
     assert info["overlap"] > 0.5
+
+
+def test_register_clouds_explicit_min_support(rng):
+    """Explicit-min-support overload parity (plade.cpp:583-599)."""
+    from plade_tpu.io.synthetic import make_room, random_rigid, transform_cloud
+    from plade_tpu.pipeline import register_clouds
+    pts, nrm, _ = make_room(rng, n_per_plane=1200, noise=0.002,
+                            extra_planes=2)
+    R, t = random_rigid(rng, max_angle=1.0, max_trans=0.5)
+    spts, snrm = transform_cloud(pts, nrm, R.T, -R.T @ t)
+    T, info = register_clouds(pts, nrm, spts, snrm, SMALL_CFG, seed=0,
+                              ransac_min_support=(400, 400))
+    assert info["success"], info
+    c = (np.trace(R.T @ T[:3, :3]) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 3.0

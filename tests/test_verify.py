@@ -1,0 +1,123 @@
+"""verify/ tests: overlap scoring vs exact numpy; penetration filter on
+constructed penetrating / non-penetrating configurations."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plade_tpu.verify import overlap as overlap_mod
+from plade_tpu.verify import penetration
+
+
+def _pad(pts, n):
+    out = np.full((n, 3), 1e8, np.float32)
+    out[:len(pts)] = pts
+    return jnp.asarray(out)
+
+
+def test_overlap_scores_match_numpy(rng):
+    S, T = 500, 600
+    src = rng.normal(size=(S, 3)).astype(np.float32)
+    tgt = rng.normal(size=(T, 3)).astype(np.float32)
+    r = 0.25
+    C = 3
+    Rs, ts = [], []
+    for k in range(C):
+        th = rng.uniform(0, 2 * np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0],
+                      [0, 0, 1]], np.float32)
+        Rs.append(R)
+        ts.append(rng.normal(scale=0.1, size=3).astype(np.float32))
+    Rs = jnp.asarray(np.stack(Rs))
+    ts = jnp.asarray(np.stack(ts))
+    ov = overlap_mod.overlap_scores(
+        Rs, ts, jnp.ones(C, bool), _pad(src, 512), jnp.asarray(S),
+        _pad(tgt, 1024), jnp.asarray(T), jnp.float32(r),
+        plane_frac=jnp.zeros(C), face_weight=0.2, exact_k=C, grid=64)
+    for k in range(C):
+        q = src @ np.asarray(Rs[k]).T + np.asarray(ts[k])
+        d2 = ((q[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+        expect = (d2.min(1) <= r * r).sum() / min(S, T)
+        np.testing.assert_allclose(float(ov[k]), expect, atol=1e-5)
+
+
+def _plane_cloud(rng, n, axis_u, axis_v, center, half, z_sigma=0.0):
+    uv = rng.uniform(-half, half, size=(n, 2)).astype(np.float32)
+    pts = center + uv[:, :1] * axis_u + uv[:, 1:2] * axis_v
+    return pts.astype(np.float32)
+
+
+def _quad(center, axis_u, axis_v, half):
+    c = np.asarray(center, np.float32)
+    return np.stack([c - half * axis_u - half * axis_v,
+                     c + half * axis_u - half * axis_v,
+                     c + half * axis_u + half * axis_v,
+                     c - half * axis_u + half * axis_v])
+
+
+def _run_penetration(src_pts, src_plane, src_corners,
+                     tgt_pts, tgt_plane, tgt_corners, lt):
+    """One candidate (identity pose), one source plane, one target plane."""
+    M = 2048
+    R = jnp.eye(3)[None]
+    t = jnp.zeros((1, 3))
+    valid = jnp.ones(1, bool)
+    sc = jnp.asarray(src_plane, jnp.float32)[None]
+    tc = jnp.asarray(tgt_plane, jnp.float32)[None]
+    scorn = jnp.asarray(src_corners, jnp.float32)[None]
+    tcorn = jnp.asarray(tgt_corners, jnp.float32)[None]
+    scent = jnp.mean(scorn, axis=1)
+    tcent = jnp.mean(tcorn, axis=1)
+    tests = penetration.build_tests(
+        R, t, valid, sc, scorn, scent, jnp.ones(1, bool),
+        tc, tcorn, tcent, jnp.ones(1, bool),
+        jnp.float32(lt), 5.0 / 180.0 * math.pi, max_tests=16)
+    spts = jnp.asarray(np.stack([np.pad(
+        src_pts, ((0, M - len(src_pts)), (0, 0)), constant_values=1e8)]))
+    tpts = jnp.asarray(np.stack([np.pad(
+        tgt_pts, ((0, M - len(tgt_pts)), (0, 0)), constant_values=1e8)]))
+    pen = penetration.run_tests(
+        tests, R, t, spts, jnp.asarray([len(src_pts)]),
+        tpts, jnp.asarray([len(tgt_pts)]), sc, tc,
+        search_radius=jnp.float32(lt), min_points=10,
+        min_distance=jnp.float32(lt) / 2.0, n_samples=32)
+    rejected = penetration.rejected_candidates(tests, pen, 1)
+    return bool(rejected[0]), int(np.asarray(tests.valid).sum())
+
+
+def test_crossing_planes_penetrate(rng):
+    # source plane z=0 crosses target plane x=0 through both quads' middles
+    ex, ey, ez = np.eye(3, dtype=np.float32)
+    src_pts = _plane_cloud(rng, 2000, ex, ey, np.zeros(3), 1.0)
+    tgt_pts = _plane_cloud(rng, 2000, ey, ez, np.zeros(3), 1.0)
+    rej, ntests = _run_penetration(
+        src_pts, [0, 0, 1, 0], _quad([0, 0, 0], ex, ey, 1.0),
+        tgt_pts, [1, 0, 0, 0], _quad([0, 0, 0], ey, ez, 1.0), lt=0.1)
+    assert ntests >= 1
+    assert rej  # both sides populated beyond min_distance -> penetrable
+
+
+def test_touching_planes_do_not_penetrate(rng):
+    # source plane z=0 spans x in [0, 2]: touches target plane x=0 at its
+    # edge — target side has points only on one side of the source plane?
+    # no: construct source entirely on x>0 so its points sit on ONE side
+    # of the target plane -> side-1 counts fail -> not penetrable
+    ex, ey, ez = np.eye(3, dtype=np.float32)
+    src_pts = _plane_cloud(rng, 2000, ex, ey, np.array([1.1, 0, 0]), 1.0)
+    tgt_pts = _plane_cloud(rng, 2000, ey, ez, np.zeros(3), 1.0)
+    rej, _ = _run_penetration(
+        src_pts, [0, 0, 1, 0], _quad([1.1, 0, 0], ex, ey, 1.0),
+        tgt_pts, [1, 0, 0, 0], _quad([0, 0, 0], ey, ez, 1.0), lt=0.1)
+    assert not rej
+
+
+def test_far_planes_produce_no_tests(rng):
+    ex, ey, ez = np.eye(3, dtype=np.float32)
+    src_pts = _plane_cloud(rng, 200, ex, ey, np.array([10.0, 0, 0]), 0.5)
+    tgt_pts = _plane_cloud(rng, 200, ey, ez, np.zeros(3), 0.5)
+    rej, ntests = _run_penetration(
+        src_pts, [0, 0, 1, 0], _quad([10.0, 0, 0], ex, ey, 0.5),
+        tgt_pts, [1, 0, 0, 0], _quad([0, 0, 0], ey, ez, 0.5), lt=0.1)
+    assert ntests == 0 and not rej
