@@ -67,25 +67,43 @@ def main(argv=None) -> int:
                         help="scene mode: extra loop-closure pairs (i, i+k)")
     parser.add_argument("--gt", default=None,
                         help="scene mode: ground-truth pose file")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
     args = parser.parse_args(argv)
 
     from ..core.config import PladeConfig
     cfg = PladeConfig(enable_icp=True) if args.icp else PladeConfig()
 
-    if args.paths[0] == "scene" and len(args.paths) == 3:
-        from .scene import run_scene
-        return run_scene(args.paths[1], args.paths[2], cfg, args.seed,
-                         args.loop_stride, args.gt)
-    if args.paths[0] == "view" and len(args.paths) == 3:
-        from .scene import export_view
-        return export_view(args.paths[1], args.paths[2])
-    if len(args.paths) == 3:
-        target, source, result_file = args.paths
-        return _run_single(target, source, result_file, cfg, args.seed)
-    if len(args.paths) == 2:
-        pairs_file, result_file = args.paths
-        return _run_batch(pairs_file, result_file, cfg, args.seed,
-                          args.device_batch, args.resume)
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        @contextlib.contextmanager
+        def _maybe_profile():
+            with jax.profiler.trace(args.profile):
+                yield
+    else:
+        import contextlib
+
+        def _maybe_profile():
+            return contextlib.nullcontext()
+
+    with _maybe_profile():
+        if args.paths[0] == "scene" and len(args.paths) == 3:
+            from .scene import run_scene
+            return run_scene(args.paths[1], args.paths[2], cfg, args.seed,
+                             args.loop_stride, args.gt)
+        if args.paths[0] == "view" and len(args.paths) == 3:
+            from .scene import export_view
+            return export_view(args.paths[1], args.paths[2])
+        if len(args.paths) == 3:
+            target, source, result_file = args.paths
+            return _run_single(target, source, result_file, cfg, args.seed)
+        if len(args.paths) == 2:
+            pairs_file, result_file = args.paths
+            return _run_batch(pairs_file, result_file, cfg, args.seed,
+                              args.device_batch, args.resume)
     parser.error("expected 2 (batch) or 3 (single pair) positional paths")
     return 2
 
@@ -234,11 +252,25 @@ def _register_batch_device(pairs, cfg, seed):
     from ..io.ply import read_ply
     from ..pipeline import _pad_size
 
+    # threaded native batch load when available (io/native.py preloader);
+    # sequential numpy fallback otherwise
+    flat_paths = [p for pair in pairs for p in pair]
+    loaded = None
+    try:
+        from ..io import native
+        if native.available():
+            loaded = native.read_ply_batch(flat_paths)
+    except Exception:
+        loaded = None
     clouds = []
     max_n = 0
-    for target, source in pairs:
-        tpts, tnrm = read_ply(target)
-        spts, snrm = read_ply(source)
+    for i, (target, source) in enumerate(pairs):
+        if loaded is not None and loaded[2 * i] and loaded[2 * i + 1]:
+            tpts, tnrm = loaded[2 * i]
+            spts, snrm = loaded[2 * i + 1]
+        else:
+            tpts, tnrm = read_ply(target)
+            spts, snrm = read_ply(source)
         max_n = max(max_n, tpts.shape[0], spts.shape[0])
         clouds.append((tpts, tnrm, spts, snrm))
     pad = _pad_size(max_n)
