@@ -79,15 +79,18 @@ def approx_overlap_counts(bitmap, origin, cell, R, t, src_points, smask,
 
 
 def exact_overlap_counts(R, t, src_points, smask, tgt_points, r2):
-    """Exact per-candidate inlier counts via blocked MXU min-distance.
-    R: (K,3,3), t: (K,3)."""
-    def one(Rt):
-        Rc, tc = Rt
-        q = src_points @ Rc.T + tc
-        d2 = min_dist_sq(q, tgt_points)
-        return jnp.sum(((d2 <= r2) & smask).astype(jnp.int32))
+    """Exact per-candidate inlier counts via the tiled NN kernel.
+    R: (K,3,3), t: (K,3).
 
-    return jax.lax.map(one, (R, t))
+    All K transformed source clouds are concatenated into ONE query array
+    so the distance kernel launches once ((K*S, T) tiles) instead of K
+    serialized times."""
+    K = R.shape[0]
+    S = src_points.shape[0]
+    q = (jnp.einsum("kij,sj->ksi", R, src_points)
+         + t[:, None, :]).reshape(K * S, 3)
+    d2 = min_dist_sq(q, tgt_points).reshape(K, S)
+    return jnp.sum(((d2 <= r2) & smask[None, :]).astype(jnp.int32), axis=1)
 
 
 def overlap_scores(R, t, cand_valid, src_points, src_count,

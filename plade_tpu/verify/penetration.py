@@ -174,7 +174,7 @@ def run_tests(tests: PenTests, R, t,
               tgt_plane_pts, tgt_plane_counts,
               src_coeffs, tgt_coeffs,
               search_radius, min_points: int, min_distance,
-              n_samples: int, chunk: int = 128):
+              n_samples: int, chunk: int = 512):
     """Phase 2b: the point-counting walk for each compacted test.
 
     Returns per-test ``penetrable`` (K,) bool.
