@@ -80,3 +80,26 @@ def test_register_clouds_explicit_min_support(rng):
     assert info["success"], info
     c = (np.trace(R.T @ T[:3, :3]) - 1) / 2
     assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 3.0
+
+
+def test_register_small_overlap(rng):
+    """The headline PLADE scenario: two partial scans sharing only part of
+    the scene (paper title: registration with SMALL overlap)."""
+    from plade_tpu.io.synthetic import make_room, random_rigid, transform_cloud
+    from plade_tpu.pipeline import register_clouds
+    pts, nrm, _ = make_room(rng, n_per_plane=2000, noise=0.002,
+                            extra_planes=3)
+    # split along x with an overlap band: each side keeps ~65% of the scene
+    lo, hi = np.quantile(pts[:, 0], [0.35, 0.65])
+    tgt_sel = pts[:, 0] <= hi
+    src_sel = pts[:, 0] >= lo
+    tpts, tnrm = pts[tgt_sel], nrm[tgt_sel]
+    spts0, snrm0 = pts[src_sel], nrm[src_sel]
+    R, t = random_rigid(rng, max_angle=1.0, max_trans=0.5)
+    spts, snrm = transform_cloud(spts0, snrm0, R.T, -R.T @ t)
+    T, info = register_clouds(tpts, tnrm, spts, snrm, SMALL_CFG, seed=0)
+    assert info["success"], info
+    c = (np.trace(R.T @ T[:3, :3]) - 1) / 2
+    rot_err = np.degrees(np.arccos(np.clip(c, -1, 1)))
+    assert rot_err < 3.0, (rot_err, info)
+    assert np.linalg.norm(T[:3, 3] - t) < 0.15, info
