@@ -369,6 +369,57 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
     return T, info
 
 
+def register_with_planes(tgt_points, tgt_normals, src_points, src_normals,
+                         tgt_planes: PlaneSet, src_planes: PlaneSet,
+                         cfg: PladeConfig = PladeConfig()):
+    """Registration given already-extracted planes — the reference's core
+    overload (plade.cpp:31-580), exposed for callers with their own plane
+    segmentation.  No target/source swap is applied (matching the
+    reference overload, which receives clouds as-is).
+
+    ``*_planes`` are PlaneSets padded to ``cfg.max_planes`` whose
+    ``point_plane`` indexes the respective cloud rows.
+
+    Returns (transform 4x4 np.ndarray, info dict).
+    """
+    pad = _pad_size(max(tgt_points.shape[0], src_points.shape[0]))
+    tgt_cloud = pad_cloud(tgt_points, tgt_normals, pad)
+    src_cloud = pad_cloud(src_points, src_normals, pad)
+
+    def _pad_pp(planes: PlaneSet) -> PlaneSet:
+        pp = np.asarray(planes.point_plane)
+        if pp.shape[0] < pad:
+            pp = np.concatenate(
+                [pp, np.full(pad - pp.shape[0], -1, np.int32)])
+        return planes._replace(point_plane=jnp.asarray(pp[:pad], jnp.int32))
+
+    tgt_planes = _pad_pp(tgt_planes)
+    src_planes = _pad_pp(src_planes)
+    info = {"tgt_planes": int(tgt_planes.count),
+            "src_planes": int(src_planes.count)}
+    if int(tgt_planes.count) < cfg.min_planes or \
+       int(src_planes.count) < cfg.min_planes:
+        info["failure"] = "too few planes"
+        return np.eye(4, dtype=np.float32), info
+
+    sp = float(average_spacing(src_cloud.points, src_cloud.mask,
+                               cfg.spacing_k, cfg.spacing_samples))
+    dp = cfg.derived(sp)
+    info["average_spacing"] = sp
+    tgt_prep = prepare_cloud(tgt_cloud, tgt_planes,
+                             jnp.float32(dp.down_sample_distance), cfg)
+    src_prep = prepare_cloud(src_cloud, src_planes,
+                             jnp.float32(dp.down_sample_distance), cfg)
+    dparams = (jnp.float32(dp.scale), jnp.float32(dp.length_threshold),
+               jnp.float32(dp.down_sample_distance))
+    result = register_pair(tgt_prep, src_prep, dparams, cfg)
+    info["score"] = float(result.score)
+    info["overlap"] = float(result.overlap)
+    info["matched_planes"] = int(result.matched_planes)
+    info["success"] = bool(result.success)
+    return np.asarray(result.transform), info
+
+
 def register_files(target_file: str, source_file: str,
                    cfg: PladeConfig = PladeConfig(), seed: int = 0):
     """File-level entry (reference plade.cpp:665-707; PLY only)."""

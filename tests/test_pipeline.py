@@ -103,3 +103,28 @@ def test_register_small_overlap(rng):
     rot_err = np.degrees(np.arccos(np.clip(c, -1, 1)))
     assert rot_err < 3.0, (rot_err, info)
     assert np.linalg.norm(T[:3, 3] - t) < 0.15, info
+
+
+def test_register_with_planes_overload(rng):
+    """Core overload parity (plade.cpp:31-580): caller supplies planes."""
+    import jax
+    from plade_tpu.core.types import pad_cloud
+    from plade_tpu.extract import ransac
+    from plade_tpu.io.synthetic import make_room, random_rigid, transform_cloud
+    from plade_tpu.pipeline import register_with_planes, _pad_size
+    pts, nrm, _ = make_room(rng, n_per_plane=1200, noise=0.002,
+                            extra_planes=2)
+    R, t = random_rigid(rng, max_angle=1.0, max_trans=0.5)
+    spts, snrm = transform_cloud(pts, nrm, R.T, -R.T @ t)
+    pad = _pad_size(max(pts.shape[0], spts.shape[0]))
+    tc = pad_cloud(pts, nrm, pad)
+    sc = pad_cloud(spts, snrm, pad)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = ransac.auto_extract(tc.points, tc.normals, tc.count, k1,
+                             SMALL_CFG, pad)
+    sp = ransac.auto_extract(sc.points, sc.normals, sc.count, k2,
+                             SMALL_CFG, pad)
+    T, info = register_with_planes(pts, nrm, spts, snrm, tp, sp, SMALL_CFG)
+    assert info["success"], info
+    c = (np.trace(R.T @ T[:3, :3]) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 3.0
