@@ -153,21 +153,57 @@ def _read_pairs(pairs_file):
     return pairs
 
 
-def _load_state(state_file):
-    """Completed pairs from a previous interrupted run:
-    {(target, source): (T, ok)}."""
+def _run_key(cfg, seed, pairs) -> str:
+    """Fingerprint of everything that makes prior results reusable: config,
+    seed, and the pair list.  A state file written under different flags
+    (e.g. --icp) must not be silently reused."""
+    import hashlib
+    blob = repr((cfg, seed, tuple(pairs))).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def _load_state(state_file, run_key):
+    """Successfully completed pairs from a previous interrupted run:
+    {(target, source): (T, ok)}.  Pairs recorded with ok=False are NOT
+    treated as done — they are retried on resume.  A state file whose
+    header run_key mismatches (different config/seed/pairs) is discarded.
+    """
     import json
     done = {}
-    if os.path.isfile(state_file):
-        with open(state_file) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                    done[(rec["target"], rec["source"])] = (
-                        np.asarray(rec["T"], np.float64), bool(rec["ok"]))
-                except (ValueError, KeyError):
-                    continue  # torn write from a crash — redo that pair
+    if not os.path.isfile(state_file):
+        return done
+    with open(state_file) as f:
+        lines = f.readlines()
+    if not lines:
+        return done
+    try:
+        header = json.loads(lines[0])
+        if header.get("run_key") != run_key:
+            print("resume state was written under a different "
+                  "config/seed/pair list — starting fresh", file=sys.stderr)
+            os.remove(state_file)
+            return done
+    except (ValueError, KeyError):
+        os.remove(state_file)  # pre-header or corrupt file — start fresh
+        return done
+    for line in lines[1:]:
+        try:
+            rec = json.loads(line)
+            if bool(rec["ok"]):
+                done[(rec["target"], rec["source"])] = (
+                    np.asarray(rec["T"], np.float64), True)
+        except (ValueError, KeyError):
+            continue  # torn write from a crash — redo that pair
     return done
+
+
+def _write_state_header(state_file, run_key):
+    import json
+    if not os.path.isfile(state_file):
+        with open(state_file, "w") as f:
+            f.write(json.dumps({"run_key": run_key}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
 
 def _append_state(state_file, target, source, T, ok):
@@ -191,7 +227,10 @@ def _run_batch(pairs_file, result_file, cfg, seed, device_batch,
         return 1
 
     state_file = result_file + ".state.jsonl"
-    done = _load_state(state_file) if resume else {}
+    run_key = _run_key(cfg, seed, pairs)
+    done = _load_state(state_file, run_key) if resume else {}
+    if resume:
+        _write_state_header(state_file, run_key)
     if done:
         print(f"resuming: {len(done)} pairs already completed",
               file=sys.stderr)
@@ -250,7 +289,7 @@ def _register_batch_device(pairs, cfg, seed):
     from ..core.types import pad_cloud
     from ..dist import mesh as dist_mesh
     from ..io.ply import read_ply
-    from ..pipeline import _pad_size
+    from ..pipeline import _cap_cloud, _pad_size
 
     # threaded native batch load when available (io/native.py preloader);
     # sequential numpy fallback otherwise
@@ -271,9 +310,11 @@ def _register_batch_device(pairs, cfg, seed):
         else:
             tpts, tnrm = read_ply(target)
             spts, snrm = read_ply(source)
+        tpts, tnrm = _cap_cloud(tpts, tnrm, cfg.max_points, seed + 2 * i)
+        spts, snrm = _cap_cloud(spts, snrm, cfg.max_points, seed + 2 * i + 1)
         max_n = max(max_n, tpts.shape[0], spts.shape[0])
         clouds.append((tpts, tnrm, spts, snrm))
-    pad = _pad_size(max_n)
+    pad = _pad_size(max_n, maximum=cfg.max_points)
 
     mesh = dist_mesh.make_mesh()
     B0 = mesh.shape[dist_mesh.PAIRS]

@@ -118,9 +118,9 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
     closed = close(occ)
     # connected components: 8-neighbor min-label propagation accelerated
     # with pointer jumping (labels <- labels[labels]), which squares the
-    # effective propagation distance per iteration — ~16 iterations cover
-    # any component shape on a 256^2 grid vs ~2*grid for pure local
-    # stencils (the former 192-step sequential chain dominated extraction)
+    # effective propagation distance per iteration — cc_iters=16 saturates
+    # the default 64^2 grid with margin vs ~2*grid for pure local stencils
+    # (the former 192-step sequential chain dominated extraction)
     idx = jnp.arange(grid * grid, dtype=jnp.int32).reshape(grid, grid)
     inf_label = jnp.int32(grid * grid)
     labels = jnp.where(closed, idx, inf_label)
@@ -375,6 +375,39 @@ def select_planes_device(planes: PlaneSet, cfg: PladeConfig) -> PlaneSet:
     return PlaneSet(coeffs=coeffs, sizes=out_sizes,
                     count=jnp.sum(new_valid.astype(jnp.int32)),
                     point_plane=new_pp.astype(jnp.int32))
+
+
+def select_planes_pinned(planes: PlaneSet, cfg: PladeConfig) -> PlaneSet:
+    """Selection for the explicit min-support overload (plade.cpp:583-599).
+
+    The reference pins the RANSAC support threshold and applies **no**
+    auto-tune halving or post-selection — every extracted plane is used.
+    Extraction already enforced support >= the pinned value (it ran with
+    floor == init == the pinned support), so this only trims to the
+    ``max_planes`` buffer (largest by support, greedy order restored) and
+    remaps point-plane ids.
+    """
+    import numpy as np
+    sizes = np.asarray(planes.sizes)
+    n = int(planes.count)
+    keep = np.arange(n)
+    if n > cfg.max_planes:
+        order = np.argsort(-sizes[:n], kind="stable")
+        keep = np.sort(order[: cfg.max_planes])
+    P = cfg.max_planes
+    coeffs = np.zeros((P, 4), np.float32)
+    out_sizes = np.zeros((P,), np.int32)
+    remap = np.full((max(n, 1) + 1,), -1, np.int32)
+    for new_id, old_id in enumerate(keep):
+        coeffs[new_id] = np.asarray(planes.coeffs)[old_id]
+        out_sizes[new_id] = sizes[old_id]
+        remap[old_id] = new_id
+    point_plane = np.asarray(planes.point_plane)
+    new_point_plane = np.where(point_plane >= 0, remap[point_plane], -1)
+    return PlaneSet(coeffs=jnp.asarray(coeffs),
+                    sizes=jnp.asarray(out_sizes),
+                    count=jnp.asarray(len(keep), jnp.int32),
+                    point_plane=jnp.asarray(new_point_plane.astype(np.int32)))
 
 
 def select_planes(planes: PlaneSet, cfg: PladeConfig) -> PlaneSet:

@@ -25,18 +25,20 @@ from .transforms import normalize
 _EPS = 1e-12
 
 
-def intersect_planes(coeffs1: jnp.ndarray, coeffs2: jnp.ndarray):
+def intersect_planes(coeffs1: jnp.ndarray, coeffs2: jnp.ndarray,
+                     max_cos: float = 0.95):
     """Intersection line of two planes given (nx, ny, nz, d) with n.x+d=0.
 
     Returns (direction, point, valid) where valid is False for
-    near-parallel pairs (|n1.n2| > 0.95, util.cpp:634).
+    near-parallel pairs (|n1.n2| > ``max_cos``; reference constant 0.95,
+    util.cpp:634 — overridable via PladeConfig.plane_pair_max_cos).
     """
     n1 = normalize(coeffs1[..., :3])
     n2 = normalize(coeffs2[..., :3])
     d1 = coeffs1[..., 3]
     d2 = coeffs2[..., 3]
     dot = jnp.sum(n1 * n2, axis=-1)
-    valid = jnp.abs(dot) <= 0.95
+    valid = jnp.abs(dot) <= max_cos
     u = jnp.cross(n1, n2)
     u2 = jnp.maximum(jnp.sum(u * u, axis=-1, keepdims=True), _EPS)
     # p satisfies n1.p = -d1, n2.p = -d2, u.p = 0

@@ -133,7 +133,10 @@ def topk_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray, k: int,
 
     def step(_, qb):
         d = _block_dist_sq(qb, refs)
-        vals, _ = jax.lax.approx_min_k(d, k)
+        # exact top-k: a missed true neighbor biases the k-th distance (and
+        # every spacing-derived threshold) upward; exact selection at k<=64
+        # costs the same on the TPU sort unit
+        vals, _ = jax.lax.approx_min_k(d, k, recall_target=1.0)
         return None, vals
 
     _, out = jax.lax.scan(step, None, qp.reshape(nq, block, 3))

@@ -30,6 +30,10 @@ class Matches(NamedTuple):
     t_idx: jnp.ndarray   # (M,) int32 — target row
     valid: jnp.ndarray   # (M,) bool
     count: jnp.ndarray   # () int32 (pre-cap true count)
+    saturated: jnp.ndarray  # () int32 — query rows whose per-query neighbor
+    # cap filled entirely with radius hits: true radius matches may have
+    # been dropped on those rows (the reference search is unbounded-k,
+    # util.cpp:115)
 
 
 def match_descriptors(query: PairDescriptors, target: PairDescriptors,
@@ -63,7 +67,10 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST) \
             + tt[None, :]
-        vals, idx = jax.lax.approx_min_k(d2, k)          # (block, k)
+        # recall_target=1.0: exact top-k (the reference's fixed-radius
+        # search is exact, util.cpp:115; approximate recall would silently
+        # drop true radius matches)
+        vals, idx = jax.lax.approx_min_k(d2, k, recall_target=1.0)
         return None, (vals, idx)
 
     blocks = qd.reshape(nblocks, block, 8)
@@ -86,7 +93,8 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
     total = jnp.sum(hi)
     m = jnp.arange(max_matches) < jnp.minimum(total, max_matches)
     return Matches(q_idx=buf_q[:max_matches], t_idx=buf_t[:max_matches],
-                   valid=m, count=total)
+                   valid=m, count=total,
+                   saturated=jnp.sum(jnp.all(hit, axis=1).astype(jnp.int32)))
 
 
 def hypothesis_poses(query: PairDescriptors, target: PairDescriptors,

@@ -78,7 +78,8 @@ def _prepare_cloud_impl(cloud: Cloud, planes: PlaneSet, dsd,
     coeffs = planes.coeffs
     ii, jj = jnp.meshgrid(jnp.arange(P), jnp.arange(P), indexing="ij")
     tri = jj > ii
-    direction, point, lvalid = intersect_planes(coeffs[ii], coeffs[jj])
+    direction, point, lvalid = intersect_planes(coeffs[ii], coeffs[jj],
+                                                cfg.plane_pair_max_cos)
     lvalid &= tri & planes.mask[ii] & planes.mask[jj]
     # reject lines far from the bounding center (plade.cpp:137-142)
     w = point - box.center
@@ -163,7 +164,8 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
             search_radius=length_threshold,
             min_points=cfg.penetration_min_points,
             min_distance=length_threshold / 2.0,
-            n_samples=cfg.penetration_samples)
+            n_samples=cfg.penetration_samples,
+            max_ratio=cfg.penetration_ratio)
         rejected = penetration.rejected_candidates(
             tests, pen, cfg.max_candidate_results)
         sel_valid = sel_valid & ~rejected
@@ -282,11 +284,25 @@ def register_pair_device(cfg: PladeConfig, num_points: int):
 # host-level orchestration (numpy in, numpy out)
 # --------------------------------------------------------------------------
 
-def _pad_size(n: int, minimum: int = 4096) -> int:
+def _pad_size(n: int, minimum: int = 4096, maximum: int | None = None) -> int:
     size = minimum
     while size < n:
         size *= 2
+    if maximum is not None:
+        size = min(size, maximum)
     return size
+
+
+def _cap_cloud(points, normals, max_points: int, seed: int = 0):
+    """Uniform random subsample when a cloud exceeds the static-shape budget
+    (``cfg.max_points``).  The reference has no such cap — it is the padded
+    buffer ceiling the TPU programs are compiled for."""
+    n = points.shape[0]
+    if n <= max_points:
+        return points, normals
+    rng = np.random.default_rng(seed)
+    idx = np.sort(rng.choice(n, size=max_points, replace=False))
+    return points[idx], normals[idx]
 
 
 def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
@@ -310,7 +326,12 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
         tgt_normals, src_normals = src_normals, tgt_normals
         swapped = True
 
-    pad = _pad_size(max(tgt_points.shape[0], src_points.shape[0]))
+    tgt_points, tgt_normals = _cap_cloud(tgt_points, tgt_normals,
+                                         cfg.max_points, seed)
+    src_points, src_normals = _cap_cloud(src_points, src_normals,
+                                         cfg.max_points, seed + 1)
+    pad = _pad_size(max(tgt_points.shape[0], src_points.shape[0]),
+                    maximum=cfg.max_points)
     tgt_cloud = pad_cloud(tgt_points, tgt_normals, pad)
     src_cloud = pad_cloud(src_points, src_normals, pad)
 
@@ -328,11 +349,14 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
             ms_t, ms_s = ransac_min_support
         if swapped:
             ms_t, ms_s = ms_s, ms_t
+        # pinned support: no auto-tune halving, no threshold re-selection
+        # (the reference overload uses the given support directly,
+        # plade.cpp:583-599)
         extractor = ransac._cached_extractor(cfg, pad)
-        tgt_planes = ransac.select_planes(
+        tgt_planes = ransac.select_planes_pinned(
             extractor(tgt_cloud.points, tgt_cloud.normals, tgt_cloud.count,
                       k1, jnp.int32(ms_t), init_support=ms_t), cfg)
-        src_planes = ransac.select_planes(
+        src_planes = ransac.select_planes_pinned(
             extractor(src_cloud.points, src_cloud.normals, src_cloud.count,
                       k2, jnp.int32(ms_s), init_support=ms_s), cfg)
 
@@ -382,7 +406,13 @@ def register_with_planes(tgt_points, tgt_normals, src_points, src_normals,
 
     Returns (transform 4x4 np.ndarray, info dict).
     """
-    pad = _pad_size(max(tgt_points.shape[0], src_points.shape[0]))
+    n_max = max(tgt_points.shape[0], src_points.shape[0])
+    if n_max > cfg.max_points:
+        raise ValueError(
+            f"cloud size {n_max} exceeds cfg.max_points={cfg.max_points}; "
+            "register_with_planes cannot subsample (plane point indices "
+            "would dangle) — raise max_points or downsample the input")
+    pad = _pad_size(n_max, maximum=cfg.max_points)
     tgt_cloud = pad_cloud(tgt_points, tgt_normals, pad)
     src_cloud = pad_cloud(src_points, src_normals, pad)
 

@@ -97,15 +97,27 @@ def overlap_scores(R, t, cand_valid, src_points, src_count,
                    tgt_points, tgt_count, inlier_distance,
                    plane_frac=None, face_weight: float = 0.2,
                    exact_k: int = 16, grid: int = 256):
-    """(C,) overlap ratios; exact for the ``exact_k`` best candidates by
-    approximate score, 0 for the rest (they cannot win the final argmax:
-    phase-1 ranking uses the same combined score the caller maximizes,
-    with overlap replaced by its superset approximation).
+    """(C,) overlap ratios with a provably exact final argmax.
 
-    ``plane_frac`` (C,) lets phase-1 rank by the caller's full score
-    ``face_weight * plane_frac + (1-face_weight) * overlap``; None ranks by
-    overlap alone.
+    Phase 1 ranks every candidate by an *upper bound* on the caller's
+    combined score (the dilated-bitmap count is a superset of the exact
+    radius test, so ``approx >= exact`` per candidate; the plane-fraction
+    term is exact).  Phase 2 evaluates exact overlap in chunks of
+    ``exact_k`` candidates down the ranking and stops as soon as the best
+    exact combined score meets the next chunk's upper bound — at which
+    point no unevaluated candidate can win the caller's argmax (its
+    combined score is bounded by its rank bound).  Unevaluated candidates
+    return 0 overlap.
+
+    An upper-bound *ranking* alone does NOT guarantee the true winner sits
+    in the first chunk (a candidate with inflated approximate score can
+    evict it), hence the bound loop; typically one chunk suffices.
+
+    ``plane_frac`` (C,) lets the bound use the caller's full score
+    ``face_weight * plane_frac + (1-face_weight) * overlap``; None ranks
+    and bounds by overlap alone.
     """
+    C = R.shape[0]
     tmask = jnp.arange(tgt_points.shape[0]) < tgt_count
     smask = jnp.arange(src_points.shape[0]) < src_count
     r = jnp.asarray(inlier_distance, jnp.float32)
@@ -115,14 +127,43 @@ def overlap_scores(R, t, cand_valid, src_points, src_count,
     denom = jnp.maximum(jnp.minimum(src_count, tgt_count), 1).astype(
         jnp.float32)
     approx = counts.astype(jnp.float32) / denom
-    rank_score = approx if plane_frac is None else \
-        face_weight * plane_frac + (1.0 - face_weight) * approx
-    rank_score = jnp.where(cand_valid, rank_score, -jnp.inf)
+    pf = jnp.zeros(C, jnp.float32) if plane_frac is None else plane_frac
+    fw = 0.0 if plane_frac is None else face_weight
+    bound = fw * pf + (1.0 - fw) * approx
+    bound = jnp.where(cand_valid, bound, -jnp.inf)
 
-    K = min(exact_k, R.shape[0])
-    _, top = jax.lax.top_k(rank_score, K)
-    exact = exact_overlap_counts(R[top], t[top], src_points, smask,
-                                 tgt_points, r * r)
-    out = jnp.zeros(R.shape[0], jnp.float32).at[top].set(
-        exact.astype(jnp.float32) / denom)
+    K = min(exact_k, C)
+    nchunks = (C + K - 1) // K
+    order = jnp.argsort(-bound)                       # (C,) desc by bound
+    pad = nchunks * K - C
+    order_p = jnp.concatenate([order, jnp.zeros(pad, order.dtype)]) \
+        if pad else order
+    bound_sorted = jnp.concatenate(
+        [bound[order], jnp.full(pad + K, -jnp.inf, jnp.float32)])
+
+    def cond(state):
+        i, _, best = state
+        # next chunk's best upper bound; -inf once exhausted
+        next_bound = bound_sorted[i * K]
+        return (i < nchunks) & (best < next_bound)
+
+    def body(state):
+        i, out, best = state
+        sel = jax.lax.dynamic_slice(order_p, (i * K,), (K,))
+        exact = exact_overlap_counts(R[sel], t[sel], src_points, smask,
+                                     tgt_points, r * r)
+        ovr = exact.astype(jnp.float32) / denom
+        # duplicate indices from the padded tail rewrite the same value
+        out = out.at[sel].set(jnp.where(cand_valid[sel], ovr, 0.0))
+        combined = jnp.where(cand_valid[sel],
+                             fw * pf[sel] + (1.0 - fw) * ovr, -jnp.inf)
+        # padded slots alias candidate 0 across chunk boundaries; its exact
+        # score is identical each time, so the max is unaffected
+        live = jnp.arange(K) + i * K < C
+        combined = jnp.where(live, combined, -jnp.inf)
+        return i + 1, out, jnp.maximum(best, jnp.max(combined))
+
+    init = (jnp.int32(0), jnp.zeros(C, jnp.float32),
+            jnp.float32(-jnp.inf))
+    _, out, _ = jax.lax.while_loop(cond, body, init)
     return jnp.where(cand_valid, out, 0.0)

@@ -174,7 +174,7 @@ def run_tests(tests: PenTests, R, t,
               tgt_plane_pts, tgt_plane_counts,
               src_coeffs, tgt_coeffs,
               search_radius, min_points: int, min_distance,
-              n_samples: int, chunk: int = 512):
+              n_samples: int, chunk: int = 512, max_ratio: float = 5.0):
     """Phase 2b: the point-counting walk for each compacted test.
 
     Returns per-test ``penetrable`` (K,) bool.
@@ -221,12 +221,14 @@ def run_tests(tests: PenTests, R, t,
         pos1, neg1 = side(cloud1, m1, cloud2, m2, ntg, dtg)
         ratio1 = jnp.maximum(pos1, neg1) / jnp.maximum(
             jnp.minimum(pos1, neg1 + 1), 1)
-        side1 = (pos1 >= min_points) & (neg1 >= min_points) & (ratio1 <= 5.0)
+        side1 = (pos1 >= min_points) & (neg1 >= min_points) \
+            & (ratio1 <= max_ratio)
         # side 2: target points vs transformed source plane (1417-1453)
         pos2, neg2 = side(cloud2, m2, cloud1, m1, rn, rd)
         ratio2 = jnp.maximum(pos2, neg2) / jnp.maximum(
             jnp.minimum(pos2, neg2 + 1), 1)
-        side2 = ((pos2 >= min_points) | (neg2 >= min_points)) & (ratio2 <= 5.0)
+        side2 = ((pos2 >= min_points) | (neg2 >= min_points)) \
+            & (ratio2 <= max_ratio)
         return side1 & side2 & valid
 
     K = tests.cand.shape[0]

@@ -78,10 +78,16 @@ def test_batch_resume_skips_completed(scene, monkeypatch, capsys):
     out = str(d / "resume_results.txt")
     state = out + ".state.jsonl"
     # pre-seed the state file with a fake completed result: resume must
-    # reuse it without re-running the pipeline
+    # reuse it without re-running the pipeline.  The header must carry the
+    # run key (config/seed/pairs fingerprint) or the state is discarded.
     import json
+
+    from plade_tpu.cli.main import _run_key
+    from plade_tpu.core.config import PladeConfig
+    run_key = _run_key(PladeConfig(), 0, [(tgt, src)])
     fakeT = np.diag([1.0, 1.0, 1.0, 1.0])
     with open(state, "w") as f:
+        f.write(json.dumps({"run_key": run_key}) + "\n")
         f.write(json.dumps({"target": tgt, "source": src,
                             "T": fakeT.tolist(), "ok": True}) + "\n")
     rc = main(["--resume", pairs, out])
@@ -93,6 +99,49 @@ def test_batch_resume_skips_completed(scene, monkeypatch, capsys):
     T = np.asarray(rows, np.float64)
     assert np.allclose(T, fakeT)  # the checkpointed matrix, not a re-run
     assert not os.path.exists(state)  # clean finish drops the checkpoint
+
+
+def test_batch_resume_retries_failed_and_discards_stale(scene, monkeypatch,
+                                                        capsys):
+    """Pairs checkpointed with ok=False must be re-run, and a state file
+    written under a different config/seed/pair list must be discarded."""
+    d, tgt, src, R, t = scene
+    _patch_small_cfg(monkeypatch)
+    pairs = str(d / "pairs_retry.txt")
+    with open(pairs, "w") as f:
+        f.write(f"{tgt}\n{src}\n")
+    out = str(d / "retry_results.txt")
+    state = out + ".state.jsonl"
+    import json
+
+    from plade_tpu.cli.main import _run_key
+    from plade_tpu.core.config import PladeConfig
+    run_key = _run_key(PladeConfig(), 0, [(tgt, src)])
+    # ok=False record: must NOT be treated as done
+    with open(state, "w") as f:
+        f.write(json.dumps({"run_key": run_key}) + "\n")
+        f.write(json.dumps({"target": tgt, "source": src,
+                            "T": np.eye(4).tolist(), "ok": False}) + "\n")
+    rc = main(["--resume", pairs, out])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "resuming" not in err            # nothing counted as completed
+    rows = [l.split() for l in open(out).read().splitlines()[3:7]]
+    T = np.asarray(rows, np.float64)
+    assert not np.allclose(T, np.eye(4))    # actually re-registered
+
+    # stale run_key: whole state discarded, pair re-run
+    with open(state, "w") as f:
+        f.write(json.dumps({"run_key": "deadbeef"}) + "\n")
+        f.write(json.dumps({"target": tgt, "source": src,
+                            "T": np.eye(4).tolist(), "ok": True}) + "\n")
+    rc = main(["--resume", pairs, out])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "different config" in err
+    rows = [l.split() for l in open(out).read().splitlines()[3:7]]
+    T = np.asarray(rows, np.float64)
+    assert not np.allclose(T, np.eye(4))
 
 
 def test_view_export(scene, monkeypatch, tmp_path):

@@ -43,6 +43,59 @@ def test_overlap_scores_match_numpy(rng):
         np.testing.assert_allclose(float(ov[k]), expect, atol=1e-5)
 
 
+def test_overlap_bound_loop_recovers_misordered_winner():
+    """Adversarial phase-1 ranking: candidate A's dilated-bitmap count is
+    inflated (every transformed point lands in a dilated cell but outside
+    the exact radius) and its plane fraction pushes its *bound* above the
+    true winner B's.  With exact_k=1, a fixed top-K scheme would evaluate
+    only A and zero B's overlap, flipping the caller's argmax; the bound
+    loop must expand until B's exact score is known."""
+    n = 8
+    tgt = np.stack([np.arange(n, dtype=np.float32),
+                    np.zeros(n, np.float32),
+                    np.zeros(n, np.float32)], axis=1)  # spacing 1.0
+    src = tgt.copy()
+    r = 0.1
+    # B: identity -> exact overlap 1.0.  A: shift 0.15 along x -> each point
+    # sits in the cell adjacent to a target point (dilated test passes) but
+    # 0.15 > r away (exact test fails) -> approx 1.0, exact 0.0.
+    Rs = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 2))
+    ts = jnp.asarray(np.array([[0.15, 0.0, 0.0],
+                               [0.0, 0.0, 0.0]], np.float32))
+    pf = jnp.asarray([0.6, 0.0], jnp.float32)
+    fw = 0.5
+    # bounds: A = .5*.6 + .5*1.0 = 0.8 > B = 0.5 -> A ranked first
+    # exact:  A = .5*.6 + 0      = 0.3 < B = 0.5 -> B is the true winner
+    ov = overlap_mod.overlap_scores(
+        Rs, ts, jnp.ones(2, bool), _pad(src, 16), jnp.asarray(n),
+        _pad(tgt, 16), jnp.asarray(n), jnp.float32(r),
+        plane_frac=pf, face_weight=fw, exact_k=1, grid=128)
+    score = fw * np.asarray(pf) + (1 - fw) * np.asarray(ov)
+    assert np.asarray(ov)[1] == 1.0          # B's exact overlap was computed
+    assert int(np.argmax(score)) == 1        # and B wins the final argmax
+
+
+def test_overlap_bound_loop_stops_early():
+    """When the top-ranked candidate's exact score already meets the next
+    bound, only one chunk is evaluated (the common case): remaining
+    candidates keep overlap 0."""
+    n = 8
+    tgt = np.stack([np.arange(n, dtype=np.float32),
+                    np.zeros(n, np.float32),
+                    np.zeros(n, np.float32)], axis=1)
+    src = tgt.copy()
+    Rs = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 3))
+    ts = jnp.asarray(np.array([[0.0, 0.0, 0.0],
+                               [0.0, 5.0, 0.0],
+                               [0.0, -5.0, 0.0]], np.float32))
+    ov = overlap_mod.overlap_scores(
+        Rs, ts, jnp.ones(3, bool), _pad(src, 16), jnp.asarray(n),
+        _pad(tgt, 16), jnp.asarray(n), jnp.float32(0.1),
+        plane_frac=jnp.zeros(3), face_weight=0.2, exact_k=1, grid=128)
+    assert float(ov[0]) == 1.0
+    assert float(ov[1]) == 0.0 and float(ov[2]) == 0.0
+
+
 def _plane_cloud(rng, n, axis_u, axis_v, center, half, z_sigma=0.0):
     uv = rng.uniform(-half, half, size=(n, 2)).astype(np.float32)
     pts = center + uv[:, :1] * axis_u + uv[:, 1:2] * axis_v
