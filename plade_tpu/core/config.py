@@ -56,6 +56,17 @@ class PladeConfig:
     #: reference draws 200/round lazily — RansacShapeDetector.cpp:89-191.
     #: Full scoring is cheap on TPU so we draw more and score exactly.)
     ransac_candidates_per_round: int = 256
+    #: locality-stratified sampling pyramid depth for 3-point draws (the
+    #: reference samples octree cells at an adaptively weighted level,
+    #: RansacShapeDetector.cpp:89-191; level l cell radius = extent/2^(l+1))
+    ransac_levels: int = 8
+    #: candidate-pool size persisted across greedy rounds (the reference's
+    #: candidate tournament keeps all candidates; the pool is rescored
+    #: exactly every round so stale scores cannot win)
+    ransac_pool: int = 32
+    #: hard cap on greedy rounds (safety net; the overlook-probability
+    #: termination normally fires long before)
+    ransac_max_rounds: int = 512
     #: least-squares refit rounds per accepted plane (RansacShapeDetector.cpp:633)
     ransac_refit_rounds: int = 3
     #: bitmap connected-component resolution (cells per side; the cell is

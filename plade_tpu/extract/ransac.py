@@ -8,23 +8,48 @@ for a single CPU core.  On TPU, scoring every candidate against every point
 is a small dense matmul, so the design becomes:
 
   per greedy round (lax.while_loop):
-    1. draw S seed points among unassigned points (categorical sampling);
-       each seed proposes the plane through the point with its normal
-       (replaces the 3-point octree-cell draw; the <=3 least-squares refit
-       rounds recover the same plane quality)
-    2. score all S candidates exactly against all points on the MXU
-       (inlier: dist < eps  and  |n.n_hat| > normal_thresh  and unassigned
-        — the compatibility test of ScoreComputer.h:10-43)
-    3. pick the argmax candidate, refit <=3 times on its 3*eps band
-       (RansacShapeDetector.cpp:633-655; the global score band is 3*eps,
-        RansacShapeDetector.cpp:472)
-    4. trim to the largest connected component on a 2-D occupancy bitmap in
+    1. draw S candidate planes among unassigned points.  Half are
+       *seed-normal* proposals (plane through a point with its normal — a
+       TPU-cheap proposal with no reference counterpart, excellent where
+       normals are clean); half are the reference's *3-point
+       locality-stratified* draws (RansacShapeDetector.cpp:89-191): pick a
+       sampling level from an adaptively reweighted distribution
+       (UpdateLevelWeights, :61-87), draw two more unassigned points within
+       that level's cell radius of an anchor, init the plane from the cross
+       product (Plane::Init, Plane.cpp:29-38), and verify all three sample
+       normals against it (FlatNormalThreshPointCompatibilityFunc)
+    2. score new candidates + the persistent candidate pool exactly against
+       all points on the MXU (inlier: dist < eps and |n.n_hat| >
+       normal_thresh and unassigned — ScoreComputer.h:10-43); merge the top
+       ``ransac_pool`` by inlier count back into the pool (the reference's
+       lazy candidate tournament, rescored exactly every round so removed
+       points cannot leave stale winners)
+    3. accept the pool's best only once its overlook failure probability
+       (1 - p_hit)^drawn falls below ``ransac_overlook_prob``
+       (CandidateFailureProbability, RansacShapeDetector.h:62-68), where
+       ``drawn`` accumulates valid generated candidates across rounds and
+       decays by (1 - k/N_free)^3 on each acceptance
+       (RansacShapeDetector.cpp:674-676).  The reference estimates
+       p_hit = k/(N * levels * 4) for pure 3-point octree draws; the
+       seed-normal half here recovers a k-inlier plane with probability
+       ~ k/(2 N_free) per draw, so p_hit = k/(4 N_free) (factor 2 slack
+       for normal quality) — fewer draws for the same confidence
+    4. refit the accepted candidate <=3 times on its 3*eps band, keeping a
+       refit only while the Gaussian-weighted global score improves
+       (weigh(d, eps) = exp(-9 d^2 / (2 eps^2)), ScoreComputer.h:10-16;
+       improvement gate RansacShapeDetector.cpp:633-655)
+    5. trim to the largest connected component on a 2-D occupancy bitmap in
        plane coordinates with a morphological close, mirroring
        BitmapPrimitiveShape::ConnectedComponent (BitmapPrimitiveShape.cpp:
        97-271): cell size = bitmap_reso * scale, dilate+erode cross, CC by
        iterated 3x3 min-label propagation, keep the component with most
-       points
-    5. accept if the trimmed support >= min_support; mark points assigned
+       points; commit if the trimmed support >= min_support, else suppress
+       the pool entry
+    6. once (1 - min_support/(4 N_free))^drawn < overlook_prob — no plane
+       of min_support plausibly remains — halve min_support while fewer
+       than min_planes planes exist (the reference auto-tuner's re-run,
+       plade.cpp:602-635, capped at ransac_max_trials halvings with
+       ``drawn`` reset per run) or finish
 
 Deliberate deviation: plane normals are oriented along the mean normal of
 their support points.  The reference intended this (correct_normal,
@@ -72,6 +97,16 @@ def _fit_plane(points, weights):
     return n, c
 
 
+class ExtractStats(NamedTuple):
+    """Termination diagnostics of one greedy extraction run — the TPU
+    observability analog of the reference's per-run console prints
+    (RansacShapeDetector's drawn-candidate accounting, plade.cpp:629-632)."""
+    rounds: jnp.ndarray        # () int32 — greedy rounds executed
+    drawn: jnp.ndarray         # () f32 — drawn counter at termination
+    trials: jnp.ndarray        # () int32 — support halvings used
+    min_support: jnp.ndarray   # () int32 — final support threshold
+
+
 class _State(NamedTuple):
     key: jnp.ndarray
     assigned: jnp.ndarray      # (N,) bool
@@ -79,8 +114,14 @@ class _State(NamedTuple):
     coeffs: jnp.ndarray        # (P, 4)
     sizes: jnp.ndarray         # (P,) int32
     num_planes: jnp.ndarray    # () int32
-    fail_streak: jnp.ndarray   # () int32 — consecutive rounds w/o a plane
     min_support: jnp.ndarray   # () int32 — current support threshold
+    drawn: jnp.ndarray         # () f32 — valid candidates drawn (decayed)
+    trials: jnp.ndarray        # () int32 — support halvings used
+    rounds: jnp.ndarray        # () int32 — greedy rounds executed
+    pool_n: jnp.ndarray        # (C, 3) — candidate pool plane normals
+    pool_d: jnp.ndarray        # (C,)   — candidate pool plane offsets
+    pool_valid: jnp.ndarray    # (C,) bool
+    level_probs: jnp.ndarray   # (L,) f32 — 3-point sampling level weights
     done: jnp.ndarray          # () bool
 
 
@@ -153,59 +194,169 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
     composable inside larger jitted programs (pipeline.register_pair_device)."""
     max_extract = max_extract or cfg.max_planes
     S = cfg.ransac_candidates_per_round
+    S_cell = S // 2                       # 3-point locality-stratified draws
+    S_seed = S - S_cell                   # seed-normal proposals
+    C = cfg.ransac_pool
+    L = cfg.ransac_levels
     grid = cfg.bitmap_grid
     cc_iters = cfg.bitmap_cc_iters
+    import math as _math
+    log_overlook = _math.log(cfg.ransac_overlook_prob)
+    hi = jax.lax.Precision.HIGHEST
 
     def round_body(state: _State, points, normals, valid, eps, bitmap_eps,
-                   floor_support, min_planes):
+                   extent, floor_support, min_planes, max_trials):
         min_support = state.min_support
-        key, k1 = jax.random.split(state.key)
+        key, k1, k_lvl, k_g2, k_g3 = jax.random.split(state.key, 5)
         free = valid & ~state.assigned
-        # S distinct uniform seeds among free points via the Gumbel top-k
+        free_f = jnp.maximum(jnp.sum(free.astype(jnp.float32)), 1.0)
+
+        # ---- candidate generation --------------------------------------
+        # S distinct uniform anchors among free points via the Gumbel top-k
         # trick: one noise vector + one top-k, instead of categorical's S
         # independent 131k-gumbel draws (which dominated the round cost)
         g = jax.random.uniform(k1, (free.shape[0],))
         scores = jnp.where(free, g, -1.0)
         _, seeds = jax.lax.approx_max_k(scores.reshape(1, -1), S)
         seeds = seeds[0]
-        cand_n = _normalize(normals[seeds])
-        cand_p = points[seeds]
-        cand_d = -jnp.sum(cand_n * cand_p, axis=-1)
+        anchor_n = _normalize(normals[seeds])
+        anchor_p = points[seeds]
+        anchor_free = free[seeds]
 
-        # exact scoring of all candidates on all points (MXU; full f32 —
-        # eps sits near bf16 noise of O(1) coordinates)
-        hi = jax.lax.Precision.HIGHEST
-        dist = jnp.abs(jnp.dot(points, cand_n.T, precision=hi)
-                       + cand_d[None, :])                           # (N, S)
-        ndot = jnp.abs(jnp.dot(normals, cand_n.T, precision=hi))    # (N, S)
-        compat = (dist < eps) & (ndot > cfg.ransac_normal_thresh) & free[:, None]
-        counts = jnp.sum(compat.astype(jnp.int32), axis=0)          # (S,)
-        best = jnp.argmax(counts)
-        n, p0 = cand_n[best], cand_p[best]
+        # seed-normal proposals: plane through the anchor with its normal
+        seed_n = anchor_n[:S_seed]
+        seed_d = -jnp.sum(seed_n * anchor_p[:S_seed], axis=-1)
+        seed_ok = anchor_free[:S_seed]
 
-        # least-squares refit rounds on the 3*eps compatibility band
-        def refit(_, nc):
-            n_, c_ = nc
-            d_ = -jnp.sum(n_ * c_)
-            dist_ = jnp.abs(points @ n_ + d_)
-            ndot_ = jnp.abs(jnp.sum(normals * n_, axis=-1))
-            band = (dist_ < 3.0 * eps) & (ndot_ > cfg.ransac_normal_thresh) & free
+        # 3-point draws from an adaptively-weighted locality level
+        # (RansacShapeDetector::DrawSamplesStratified + GenerateCandidates)
+        ap = anchor_p[S_seed:]                                  # (S_cell, 3)
+        an = anchor_n[S_seed:]
+        lvl = jax.random.categorical(
+            k_lvl, jnp.log(jnp.maximum(state.level_probs, 1e-9)),
+            shape=(S_cell,))
+        radius = extent * (0.87 / (2.0 ** (lvl.astype(jnp.float32) + 1.0)))
+        # (N, S_cell) anchor distances: the cross term rides the MXU
+        d2a = (jnp.sum(points * points, -1)[:, None]
+               - 2.0 * jnp.dot(points, ap.T, precision=hi)
+               + jnp.sum(ap * ap, -1)[None, :])
+        within = (d2a <= (radius * radius)[None, :]) & free[:, None]
+        # two independent uniform picks per cell via shared gumbel noise
+        # (degenerate coincidences collapse the cross product and are
+        # rejected below)
+        g2 = jax.random.uniform(k_g2, (free.shape[0],))
+        g3 = jax.random.uniform(k_g3, (free.shape[0],))
+        pick2 = jnp.argmax(jnp.where(within, g2[:, None], -1.0), axis=0)
+        pick3 = jnp.argmax(jnp.where(within, g3[:, None], -1.0), axis=0)
+        p2, p3 = points[pick2], points[pick3]
+        cross = jnp.cross(p2 - ap, p3 - ap)
+        cnorm = jnp.linalg.norm(cross, axis=-1)
+        cn = cross / jnp.maximum(cnorm, _EPS)[:, None]
+        # verify all three sample normals against the plane (the
+        # FlatNormalThreshPointCompatibilityFunc check on the samples)
+        thr = cfg.ransac_normal_thresh
+        nok = (jnp.abs(jnp.sum(cn * an, -1)) > thr) \
+            & (jnp.abs(jnp.sum(cn * _normalize(normals[pick2]), -1)) > thr) \
+            & (jnp.abs(jnp.sum(cn * _normalize(normals[pick3]), -1)) > thr)
+        enough = jnp.sum(within.astype(jnp.int32), axis=0) >= 3
+        cell_ok = anchor_free[S_seed:] & enough & nok & (cnorm > 1e-10)
+        cell_d = -jnp.sum(cn * ap, axis=-1)
+
+        cand_n = jnp.concatenate([seed_n, cn], axis=0)          # (S, 3)
+        cand_d = jnp.concatenate([seed_d, cell_d], axis=0)
+        cand_ok = jnp.concatenate([seed_ok, cell_ok], axis=0)
+
+        # ---- exact scoring of new candidates + pool (MXU; full f32 —
+        # eps sits near bf16 noise of O(1) coordinates) ------------------
+        all_n = jnp.concatenate([cand_n, state.pool_n], axis=0)  # (S+C, 3)
+        all_d = jnp.concatenate([cand_d, state.pool_d], axis=0)
+        all_ok = jnp.concatenate([cand_ok, state.pool_valid], axis=0)
+        dist = jnp.abs(jnp.dot(points, all_n.T, precision=hi)
+                       + all_d[None, :])                        # (N, S+C)
+        ndot = jnp.abs(jnp.dot(normals, all_n.T, precision=hi))
+        compat = (dist < eps) & (ndot > thr) & free[:, None]
+        counts = jnp.where(all_ok,
+                           jnp.sum(compat.astype(jnp.int32), axis=0), 0)
+
+        # ---- sampling-level reweighting (UpdateLevelWeights, factor .5) -
+        contrib = jnp.where(cell_ok, counts[S_seed:S].astype(jnp.float32),
+                            0.0)
+        level_scores = jnp.zeros((L,), jnp.float32).at[lvl].add(contrib)
+        probs = state.level_probs
+        raw = jnp.where(probs > 1e-9, level_scores / jnp.maximum(probs, 1e-9),
+                        0.0)
+        mixed = 0.9 * raw + 0.1 * jnp.sum(raw) / L
+        msum = jnp.sum(mixed)
+        normed = jnp.where(msum > 0, mixed / jnp.maximum(msum, 1e-9),
+                           jnp.full((L,), 1.0 / L))
+        new_level_probs = 0.5 * probs + 0.5 * normed
+
+        # ---- pool merge: keep the top C by exact inlier count ----------
+        top_counts, top_idx = jax.lax.top_k(counts, C)
+        pool_n = all_n[top_idx]
+        pool_d = all_d[top_idx]
+        pool_valid = all_ok[top_idx] & (top_counts > 0)
+
+        drawn = state.drawn + jnp.sum(cand_ok.astype(jnp.float32))
+
+        # ---- overlook-probability acceptance gate -----------------------
+        # P_fail(k) = (1 - k/(4 N_free))^drawn  in log space; see module
+        # docstring for the p_hit derivation vs the reference's
+        # k/(N * levels * 4) (CandidateFailureProbability)
+        def log_pfail(k_f):
+            p = jnp.clip(k_f / (4.0 * free_f), 0.0, 0.999999)
+            return drawn * jnp.log1p(-p)
+
+        best = jnp.argmax(jnp.where(pool_valid, top_counts, -1))
+        best_count = top_counts[best]
+        confident = log_pfail(best_count.astype(jnp.float32)) <= log_overlook
+        try_accept = confident & pool_valid[best] \
+            & (best_count >= min_support) \
+            & (state.num_planes < max_extract)
+
+        # ---- refit (Gaussian-weighted improvement gate) + CC trim ------
+        n0 = pool_n[best]
+        d0 = pool_d[best]
+
+        def wscore(n_, d_):
+            # GlobalWeightedScore on the 3*eps band: Gaussian weight with
+            # sigma = band/3 (weigh(), ScoreComputer.h:10-16)
+            dd = jnp.abs(points @ n_ + d_)
+            nd = jnp.abs(jnp.sum(normals * n_, axis=-1))
+            comp = (dd < 3.0 * eps) & (nd > thr) & free
+            w = jnp.exp(-dd * dd / ((2.0 / 9.0) * (3.0 * eps) ** 2))
+            return jnp.sum(jnp.where(comp, w, 0.0))
+
+        def refit(_, carry):
+            n_, d_, sc_ = carry
+            dd = jnp.abs(points @ n_ + d_)
+            nd = jnp.abs(jnp.sum(normals * n_, axis=-1))
+            band = (dd < 3.0 * eps) & (nd > thr) & free
             n2, c2 = _fit_plane(points, band.astype(jnp.float32))
             n2 = jnp.where(jnp.sum(n2 * n_) < 0, -n2, n2)
-            return (n2, c2)
+            d2 = -jnp.sum(n2 * c2)
+            sc2 = wscore(n2, d2)
+            better = sc2 > sc_
+            return (jnp.where(better, n2, n_), jnp.where(better, d2, d_),
+                    jnp.maximum(sc2, sc_))
 
-        n, c = jax.lax.fori_loop(0, cfg.ransac_refit_rounds, refit, (n, p0))
-        d = -jnp.sum(n * c)
+        n, d, _ = jax.lax.fori_loop(0, cfg.ransac_refit_rounds, refit,
+                                    (n0, d0, wscore(n0, d0)))
         dist_f = jnp.abs(points @ n + d)
         ndot_f = jnp.abs(jnp.sum(normals * n, axis=-1))
-        inlier = (dist_f < 3.0 * eps) & (ndot_f > cfg.ransac_normal_thresh) & free
+        inlier = (dist_f < 3.0 * eps) & (ndot_f > thr) & free
 
         # largest-connected-component trim in plane coordinates
         u, v = _plane_basis(n)
         uv = jnp.stack([points @ u, points @ v], axis=-1)
         kept = _largest_component_mask(uv, inlier, bitmap_eps, grid, cc_iters)
         support = jnp.sum(kept.astype(jnp.int32))
-        accept = (support >= min_support) & (state.num_planes < max_extract)
+        accept = try_accept & (support >= min_support)
+        # a confident candidate whose trimmed support fails the threshold is
+        # suppressed so the pool cannot retry it forever
+        pool_valid = jnp.where(
+            try_accept & ~accept,
+            pool_valid.at[best].set(False), pool_valid)
 
         # orient normal along mean support-point normal (intended
         # correct_normal semantics; see module docstring)
@@ -223,22 +374,33 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             state.coeffs)
         new_sizes = jnp.where(accept, state.sizes.at[pid].set(support),
                               state.sizes)
-        fail_streak = jnp.where(accept, 0, state.fail_streak + 1)
         num_planes = jnp.where(accept, pid + 1, pid)
+        # the accepted plane's entry must not win again (its points are
+        # gone, but the rescore only happens next round)
+        pool_valid = jnp.where(accept, pool_valid.at[best].set(False),
+                               pool_valid)
+        # drawn decays to reflect point removal (RansacShapeDetector:674)
+        drawn = jnp.where(
+            accept,
+            (1.0 - support.astype(jnp.float32) / free_f) ** 3 * drawn,
+            drawn)
 
-        # auto-tune schedule on device (reference extract(), plade.cpp:
-        # 602-635): a streak of failed redraws at the current support level
-        # halves it — but only while we still lack min_planes planes;
-        # otherwise the level is exhausted and extraction ends.  One pass
-        # replaces the reference's up-to-10 full detector re-runs.
-        exhausted = fail_streak >= 3
+        # ---- overlook-probability termination / auto-tune halving ------
+        # exhausted: even a plane of exactly min_support would have been
+        # found by now w.p. 1 - overlook_prob
+        exhausted = (log_pfail(min_support.astype(jnp.float32))
+                     <= log_overlook) & ~accept
         need_more = num_planes < min_planes
-        can_halve = min_support > floor_support
+        can_halve = (min_support > floor_support) & (state.trials < max_trials)
         halve = exhausted & need_more & can_halve
         new_support = jnp.where(
             halve, jnp.maximum(min_support // 2, floor_support), min_support)
-        done = (exhausted & ~(need_more & can_halve)) | \
-            (num_planes >= max_extract)
+        # each halving mirrors a fresh reference detector run: drawn resets
+        drawn = jnp.where(halve, 0.0, drawn)
+        rounds = state.rounds + 1
+        done = (exhausted & ~(need_more & can_halve)) \
+            | (num_planes >= max_extract) \
+            | (rounds >= cfg.ransac_max_rounds)
         return _State(
             key=key,
             assigned=new_assigned,
@@ -246,8 +408,14 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             coeffs=new_coeffs,
             sizes=new_sizes,
             num_planes=num_planes,
-            fail_streak=jnp.where(halve, 0, fail_streak),
             min_support=new_support,
+            drawn=drawn,
+            trials=jnp.where(halve, state.trials + 1, state.trials),
+            rounds=rounds,
+            pool_n=pool_n,
+            pool_d=pool_d,
+            pool_valid=pool_valid,
+            level_probs=new_level_probs,
             done=done,
         )
 
@@ -257,9 +425,10 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
 
         Returns a PlaneSet padded to ``max_extract`` planes, greedy order.
         The support threshold starts at ``init_support`` (default: the
-        reference's 10000) and halves down to ``floor_support`` whenever a
-        redraw streak fails while fewer than ``min_planes`` planes exist —
-        the device-resident form of the reference auto-tuner.
+        reference's 10000) and halves down to ``floor_support`` whenever
+        the overlook bound says nothing of the current support remains
+        while fewer than ``min_planes`` planes exist — the device-resident
+        form of the reference auto-tuner (plade.cpp:602-635).
         """
         if init_support is None:
             init_support = cfg.ransac_init_min_support
@@ -281,9 +450,15 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             coeffs=jnp.zeros((max_extract, 4), jnp.float32),
             sizes=jnp.zeros((max_extract,), jnp.int32),
             num_planes=jnp.asarray(0, jnp.int32),
-            fail_streak=jnp.asarray(0, jnp.int32),
             min_support=jnp.maximum(jnp.asarray(init_support, jnp.int32),
                                     jnp.asarray(floor_support, jnp.int32)),
+            drawn=jnp.asarray(0.0, jnp.float32),
+            trials=jnp.asarray(0, jnp.int32),
+            rounds=jnp.asarray(0, jnp.int32),
+            pool_n=jnp.zeros((C, 3), jnp.float32),
+            pool_d=jnp.zeros((C,), jnp.float32),
+            pool_valid=jnp.zeros((C,), jnp.bool_),
+            level_probs=jnp.full((L,), 1.0 / L, jnp.float32),
             done=jnp.asarray(False),
         )
 
@@ -292,13 +467,19 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
 
         def body(s):
             return round_body(s, safe_pts, normals, valid, eps, bitmap_eps,
+                              scale,
                               jnp.asarray(floor_support, jnp.int32),
-                              jnp.asarray(min_planes, jnp.int32))
+                              jnp.asarray(min_planes, jnp.int32),
+                              jnp.asarray(cfg.ransac_max_trials, jnp.int32))
 
         final = jax.lax.while_loop(cond, body, init)
-        return PlaneSet(coeffs=final.coeffs, sizes=final.sizes,
-                        count=final.num_planes,
-                        point_plane=final.point_plane)
+        planes = PlaneSet(coeffs=final.coeffs, sizes=final.sizes,
+                          count=final.num_planes,
+                          point_plane=final.point_plane)
+        stats = ExtractStats(rounds=final.rounds, drawn=final.drawn,
+                             trials=final.trials,
+                             min_support=final.min_support)
+        return planes, stats
 
     return extract
 
@@ -321,8 +502,8 @@ def auto_extract(points, normals, count, key, cfg: PladeConfig,
     one device pass instead of up to 10 detector re-runs.
     """
     extractor = _cached_extractor(cfg, num_points)
-    planes = extractor(points, normals, count, key,
-                       cfg.ransac_min_allowed_support)
+    planes, _ = extractor(points, normals, count, key,
+                          cfg.ransac_min_allowed_support)
     return select_planes(planes, cfg)
 
 

@@ -10,7 +10,25 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_plane_points(rng, center, u, v, extent_u, extent_v, n, noise=0.0):
+def perturb_normals(rng, normals, noise_deg):
+    """Rotate each normal by an independent random angle ~ N(0, noise_deg)
+    about a random tangent axis — models per-point normal-estimation error
+    on real scans (the reference consumes scanner normals as-is)."""
+    if noise_deg <= 0:
+        return normals
+    n = np.asarray(normals, np.float64)
+    tangent = rng.normal(size=n.shape)
+    tangent -= np.sum(tangent * n, axis=1, keepdims=True) * n
+    tangent /= np.maximum(np.linalg.norm(tangent, axis=1, keepdims=True),
+                          1e-12)
+    ang = np.radians(rng.normal(scale=noise_deg, size=n.shape[0]))[:, None]
+    out = np.cos(ang) * n + np.sin(ang) * tangent
+    return (out / np.linalg.norm(out, axis=1, keepdims=True)).astype(
+        np.float32)
+
+
+def make_plane_points(rng, center, u, v, extent_u, extent_v, n, noise=0.0,
+                      normal_noise_deg=0.0):
     """Sample n points on the rectangle center +/- extent along (u, v)."""
     u = np.asarray(u, np.float64)
     v = np.asarray(v, np.float64)
@@ -21,11 +39,13 @@ def make_plane_points(rng, center, u, v, extent_u, extent_v, n, noise=0.0):
     pts = (np.asarray(center)[None] + a[:, None] * u[None] + b[:, None] * v[None])
     if noise > 0:
         pts = pts + rng.normal(scale=noise, size=(n, 3)) * normal[None]
-    normals = np.tile(normal, (n, 1))
+    normals = np.tile(normal, (n, 1)).astype(np.float32)
+    normals = perturb_normals(rng, normals, normal_noise_deg)
     return pts.astype(np.float32), normals.astype(np.float32)
 
 
-def make_room(rng, n_per_plane=3000, noise=0.0, size=4.0, extra_planes=4):
+def make_room(rng, n_per_plane=3000, noise=0.0, size=4.0, extra_planes=4,
+              normal_noise_deg=0.0):
     """A box 'room' (floor + 2-4 walls + ceiling patches) plus a few tilted
     interior planes so plane pairs are non-degenerate.  Normals point into
     the room interior (consistent orientation, like scanner data).
@@ -47,7 +67,7 @@ def make_room(rng, n_per_plane=3000, noise=0.0, size=4.0, extra_planes=4):
     pts_list, nrm_list, planes = [], [], []
     for k, (c, u, v) in enumerate(specs):
         p, nr = make_plane_points(rng, c, u, v, s * 0.95, s * 0.95,
-                                  n_per_plane, noise)
+                                  n_per_plane, noise, normal_noise_deg)
         n0 = nr[0] / np.linalg.norm(nr[0])
         if np.dot(interior - np.asarray(c), n0) < 0:
             n0 = -n0
@@ -66,7 +86,7 @@ def make_room(rng, n_per_plane=3000, noise=0.0, size=4.0, extra_planes=4):
         u /= np.linalg.norm(u)
         v = np.cross(n0, u)
         p, nr = make_plane_points(rng, c, u, v, s * 0.45, s * 0.35,
-                                  n_per_plane, noise)
+                                  n_per_plane, noise, normal_noise_deg)
         if np.dot(nr[0], n0) < 0:
             nr = -nr
         pts_list.append(p)

@@ -233,7 +233,7 @@ def build_register_device_fn(cfg: PladeConfig, num_points: int):
         # both clouds extract in one vmapped while_loop: their greedy
         # rounds run in lockstep on device, halving the sequential depth
         # of the pipeline's dominant stage
-        both = jax.vmap(lambda p, n, c, k: extract(p, n, c, k, floor))(
+        both = jax.vmap(lambda p, n, c, k: extract(p, n, c, k, floor)[0])(
             jnp.stack([tgt_cloud.points, src_cloud.points]),
             jnp.stack([tgt_cloud.normals, src_cloud.normals]),
             jnp.stack([tgt_cloud.count, src_cloud.count]),
@@ -355,10 +355,10 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
         extractor = ransac._cached_extractor(cfg, pad)
         tgt_planes = ransac.select_planes_pinned(
             extractor(tgt_cloud.points, tgt_cloud.normals, tgt_cloud.count,
-                      k1, jnp.int32(ms_t), init_support=ms_t), cfg)
+                      k1, jnp.int32(ms_t), init_support=ms_t)[0], cfg)
         src_planes = ransac.select_planes_pinned(
             extractor(src_cloud.points, src_cloud.normals, src_cloud.count,
-                      k2, jnp.int32(ms_s), init_support=ms_s), cfg)
+                      k2, jnp.int32(ms_s), init_support=ms_s)[0], cfg)
 
     info = {"swapped": swapped,
             "tgt_planes": int(tgt_planes.count),

@@ -17,13 +17,15 @@ TEST_CFG = PladeConfig(
 )
 
 
-def _extract(points, normals, cfg, min_support, max_extract=16, seed=0):
+def _extract(points, normals, cfg, min_support, max_extract=16, seed=0,
+             stats=False):
     n = points.shape[0]
     pad = 1 << (n - 1).bit_length()
     cloud = pad_cloud(points, normals, pad)
     fn = ransac.make_extractor(cfg, pad, max_extract=max_extract)
-    return fn(cloud.points, cloud.normals, cloud.count,
-              jax.random.PRNGKey(seed), min_support)
+    planes, st = fn(cloud.points, cloud.normals, cloud.count,
+                    jax.random.PRNGKey(seed), min_support)
+    return (planes, st) if stats else planes
 
 
 def test_extract_single_plane(rng):
@@ -73,6 +75,70 @@ def test_connected_component_split(rng):
     sizes = sorted(int(s) for s in np.asarray(planes.sizes[:2]))
     assert 800 < sizes[0] < 1300
     assert 1700 < sizes[1] < 2300
+
+
+def test_extract_noisy_scan_recall(rng):
+    """Plane recall on a realistically noisy scan: point noise 0.01x the
+    scene extent (2x the RANSAC eps band of 0.005x) and ~8 deg per-point
+    normal-estimation error.  This is the regime the 3-point stratified
+    draws + Gaussian-gated refits must cover — seed-normal proposals alone
+    degrade when individual normals are unreliable (VERDICT missing #3;
+    reference engine RansacShapeDetector.cpp:89-191, ScoreComputer.h:10-43).
+    """
+    size = 4.0
+    pts, nrm, gt_planes = make_room(rng, n_per_plane=1500, noise=0.01 * size,
+                                    size=size, extra_planes=2,
+                                    normal_noise_deg=8.0)
+    planes = _extract(pts, nrm, TEST_CFG, min_support=400)
+    count = int(planes.count)
+    got = np.asarray(planes.coeffs[:count])
+    matched = 0
+    for n_gt, d_gt in gt_planes:
+        dots = got[:, :3] @ n_gt
+        dd = np.abs(got[:, 3] - d_gt)
+        if np.any((dots > 0.98) & (dd < 0.1)):
+            matched += 1
+    # >= 90% plane recall at this noise level
+    assert matched >= int(np.ceil(0.9 * len(gt_planes))), \
+        f"recall {matched}/{len(gt_planes)}"
+
+
+def test_overlook_termination_uses_config(rng):
+    """ransac_overlook_prob drives both the acceptance gate and termination
+    (CandidateFailureProbability, RansacShapeDetector.h:62-68): a stricter
+    allowed overlook probability must spend strictly more candidate draws
+    before committing/terminating, and both runs still find the planes."""
+    pts, nrm, gt_planes = make_room(rng, n_per_plane=1200, noise=0.002,
+                                    extra_planes=0)
+    base = dataclasses.replace(TEST_CFG, ransac_candidates_per_round=16,
+                               min_planes=2)
+    lax_cfg = dataclasses.replace(base, ransac_overlook_prob=0.05)
+    strict_cfg = dataclasses.replace(base, ransac_overlook_prob=1e-6)
+    p_lax, st_lax = _extract(pts, nrm, lax_cfg, min_support=400, stats=True)
+    p_strict, st_strict = _extract(pts, nrm, strict_cfg, min_support=400,
+                                   stats=True)
+    assert int(p_strict.count) == len(gt_planes)
+    assert int(p_lax.count) >= 2
+    # the strict bound demands more evidence: more greedy rounds
+    assert int(st_strict.rounds) > int(st_lax.rounds)
+
+
+def test_max_trials_caps_support_halving(rng):
+    """ransac_max_trials caps the auto-tune halvings (reference extract(),
+    plade.cpp:623-628): with zero allowed halvings the support threshold
+    stays at the (unattainable) init value and nothing is extracted."""
+    pts, nrm, gt_planes = make_room(rng, n_per_plane=1200, noise=0.002,
+                                    extra_planes=0)
+    no_halve = dataclasses.replace(TEST_CFG, ransac_max_trials=0,
+                                   min_planes=2)
+    planes, st = _extract(pts, nrm, no_halve, min_support=400, stats=True)
+    assert int(planes.count) == 0
+    assert int(st.trials) == 0
+    assert int(st.min_support) == 10000   # never halved
+    ok = dataclasses.replace(TEST_CFG, ransac_max_trials=10, min_planes=2)
+    planes2, st2 = _extract(pts, nrm, ok, min_support=400, stats=True)
+    assert int(planes2.count) == len(gt_planes)
+    assert 1 <= int(st2.trials) <= 10
 
 
 def test_select_planes_auto_tune(rng):

@@ -61,9 +61,9 @@ def main():
         k1, k2 = jax.random.split(key)
         floor = jnp.int32(cfg.ransac_min_allowed_support)
         tp_ = ransac.select_planes_device(
-            extract(tgt.points, tgt.normals, tgt.count, k1, floor), cfg)
+            extract(tgt.points, tgt.normals, tgt.count, k1, floor)[0], cfg)
         sp2 = ransac.select_planes_device(
-            extract(src.points, src.normals, src.count, k2, floor), cfg)
+            extract(src.points, src.normals, src.count, k2, floor)[0], cfg)
         return tp_, sp2
 
     tgt_planes, src_planes = timed(

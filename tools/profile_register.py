@@ -53,10 +53,10 @@ def main():
     ext = jax.jit(ransac.build_extract_fn(cfg, pad, max_extract=64))
     floor = jnp.int32(cfg.ransac_min_allowed_support)
     tgt_planes = ransac.select_planes(
-        ext(tgt_cloud.points, tgt_cloud.normals, tgt_cloud.count, k1, floor),
+        ext(tgt_cloud.points, tgt_cloud.normals, tgt_cloud.count, k1, floor)[0],
         cfg)
     src_planes = ransac.select_planes(
-        ext(src_cloud.points, src_cloud.normals, src_cloud.count, k2, floor),
+        ext(src_cloud.points, src_cloud.normals, src_cloud.count, k2, floor)[0],
         cfg)
     spc = float(average_spacing(src_cloud.points, src_cloud.mask,
                                 cfg.spacing_k, cfg.spacing_samples))

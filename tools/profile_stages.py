@@ -55,8 +55,8 @@ def main():
     src_planes0 = extractor(src_cloud.points, src_cloud.normals,
                             src_cloud.count, k2,
                             cfg.ransac_min_allowed_support)
-    tgt_planes = ransac.select_planes(tgt_planes0, cfg)
-    src_planes = ransac.select_planes(src_planes0, cfg)
+    tgt_planes = ransac.select_planes(tgt_planes0[0], cfg)
+    src_planes = ransac.select_planes(src_planes0[0], cfg)
 
     spc = timed("average_spacing", average_spacing_jit, src_cloud.points,
                 src_cloud.mask, cfg.spacing_k, cfg.spacing_samples)
