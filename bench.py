@@ -2,13 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline note: the reference publishes no numbers (BASELINE.md) and its
-binary cannot be built in this image (PCL requires Boost, which is absent
-— see .ref_build/cmake.log).  ``vs_baseline`` therefore uses an explicit
-single-core wall-clock estimate for the reference on this pair
-(REF_SECONDS_PER_PAIR below; the PLADE pipeline on ~100k-point clouds is
-tens of seconds single-threaded).  Replace with a measured number when a
-reference build exists.
+Baseline: MEASURED.  The reference binary was built from its own sources
+via the mini-PCL shim in tools/refbaseline/ and timed on this machine:
+median 6.87 s/pair over 10 runs on the polyhedron pair, single core,
+success 7/10 (BASELINE.md "MEASURED reference baseline").
 """
 import json
 import os
@@ -17,7 +14,7 @@ import time
 
 import numpy as np
 
-REF_SECONDS_PER_PAIR = 20.0  # documented estimate; see module docstring
+REF_SECONDS_PER_PAIR = 6.87  # measured median; see BASELINE.md
 TARGET = "/root/reference/sample_data/polyhedron_target.ply"
 SOURCE = "/root/reference/sample_data/polyhedron_source.ply"
 GT = np.array([
@@ -68,7 +65,7 @@ def main():
     # mode amortizes the pipeline's serial latencies across pairs)
     import jax.numpy as jnp
     from plade_tpu.pipeline import build_register_device_fn
-    B = 4
+    B = 8
     vfn = jax.jit(jax.vmap(build_register_device_fn(cfg, pad)))
     tgt_b = jax.tree.map(lambda x: jnp.stack([x] * B), tgt)
     src_b = jax.tree.map(lambda x: jnp.stack([x] * B), src)
@@ -83,6 +80,19 @@ def main():
     batch_dt = (time.perf_counter() - t0) / (bruns * B)
     batch_ok = bool(np.asarray(rb.success).all())
 
+    # ICP refinement value-add: error delta vs the coarse pose on the same
+    # pair (the reference ships the raw hypothesis; refine/icp.py is this
+    # framework's addition)
+    import dataclasses
+    fn_icp = register_pair_device(dataclasses.replace(cfg, enable_icp=True),
+                                  pad)
+    res_icp = fn_icp(tgt, src, jax.random.PRNGKey(0))
+    jax.block_until_ready(res_icp)
+    Ti = np.asarray(res_icp.transform)
+    ci = (np.trace(GT[:3, :3].T @ Ti[:3, :3]) - 1.0) / 2.0
+    icp_rot = float(np.degrees(np.arccos(np.clip(ci, -1.0, 1.0))))
+    icp_trans = float(np.linalg.norm(Ti[:3, 3] - GT[:3, 3]))
+
     pairs_per_s = 1.0 / dt
     out = {
         "metric": "sample_pair_registration_throughput",
@@ -96,7 +106,11 @@ def main():
             "success": bool(res.success),
             "batched_pairs_per_s": round(1.0 / batch_dt, 4),
             "batched_all_success": batch_ok,
-            "baseline_note": "vs estimated 20 s/pair single-core reference"
+            "icp_rot_err_deg": round(icp_rot, 4),
+            "icp_trans_err": round(icp_trans, 5),
+            "baseline_note": "vs measured 6.87 s/pair reference median "
+                             "(10 runs, tools/refbaseline build, "
+                             "BASELINE.md)"
         },
     }
     print(json.dumps(out))

@@ -93,7 +93,8 @@ def main(argv=None) -> int:
         if args.paths[0] == "scene" and len(args.paths) == 3:
             from .scene import run_scene
             return run_scene(args.paths[1], args.paths[2], cfg, args.seed,
-                             args.loop_stride, args.gt)
+                             args.loop_stride, args.gt,
+                             device_batch=args.device_batch)
         if args.paths[0] == "view" and len(args.paths) == 3:
             from .scene import export_view
             return export_view(args.paths[1], args.paths[2])
@@ -285,11 +286,8 @@ def _run_batch(pairs_file, result_file, cfg, seed, device_batch,
 
 def _register_batch_device(pairs, cfg, seed):
     """All pairs through the sharded device pipeline in fixed-size batches."""
-    import jax
-    from ..core.types import pad_cloud
-    from ..dist import mesh as dist_mesh
+    from ..dist.mesh import register_array_pairs
     from ..io.ply import read_ply
-    from ..pipeline import _cap_cloud, _pad_size
 
     # threaded native batch load when available (io/native.py preloader);
     # sequential numpy fallback otherwise
@@ -302,7 +300,6 @@ def _register_batch_device(pairs, cfg, seed):
     except Exception:
         loaded = None
     clouds = []
-    max_n = 0
     for i, (target, source) in enumerate(pairs):
         if loaded is not None and loaded[2 * i] and loaded[2 * i + 1]:
             tpts, tnrm = loaded[2 * i]
@@ -310,30 +307,9 @@ def _register_batch_device(pairs, cfg, seed):
         else:
             tpts, tnrm = read_ply(target)
             spts, snrm = read_ply(source)
-        tpts, tnrm = _cap_cloud(tpts, tnrm, cfg.max_points, seed + 2 * i)
-        spts, snrm = _cap_cloud(spts, snrm, cfg.max_points, seed + 2 * i + 1)
-        max_n = max(max_n, tpts.shape[0], spts.shape[0])
         clouds.append((tpts, tnrm, spts, snrm))
-    pad = _pad_size(max_n, maximum=cfg.max_points)
-
-    mesh = dist_mesh.make_mesh()
-    B0 = mesh.shape[dist_mesh.PAIRS]
-    results = []
-    for start in range(0, len(clouds), B0):
-        chunk = clouds[start:start + B0]
-        while len(chunk) < B0:
-            chunk.append(chunk[0])  # pad batch with a repeat
-        tgt_b = dist_mesh.stack_clouds(
-            [pad_cloud(c[0], c[1], pad) for c in chunk])
-        src_b = dist_mesh.stack_clouds(
-            [pad_cloud(c[2], c[3], pad) for c in chunk])
-        keys = jax.random.split(jax.random.PRNGKey(seed + start), B0)
-        res = dist_mesh.register_batch(tgt_b, src_b, keys, cfg, mesh)
-        T = np.asarray(res.transform)
-        ok = np.asarray(res.success)
-        for i in range(min(B0, len(clouds) - start)):
-            results.append((T[i], bool(ok[i])))
-    return results
+    return [(r.transform, r.success)
+            for r in register_array_pairs(clouds, cfg, seed)]
 
 
 if __name__ == "__main__":

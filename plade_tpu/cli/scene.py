@@ -15,9 +15,12 @@ import numpy as np
 
 
 def run_scene(scene_dir: str, out_file: str, cfg, seed: int = 0,
-              loop_stride: int = 0, gt_file: str | None = None) -> int:
+              loop_stride: int = 0, gt_file: str | None = None,
+              device_batch: bool = False, mesh=None) -> int:
     from ..dist import posegraph
+    from ..dist.mesh import register_array_pairs
     from ..io import resso
+    from ..io.ply import read_ply
     from ..pipeline import register_files
 
     scene = resso.load_scene(scene_dir, gt_file)
@@ -32,21 +35,40 @@ def run_scene(scene_dir: str, out_file: str, cfg, seed: int = 0,
 
     edges = []
     n_fail = 0
-    for (i, j) in pairs:
-        try:
-            T, info = register_files(scene.scan_files[i],
-                                     scene.scan_files[j], cfg, seed)
-            ok = bool(info.get("success"))
-        except (ValueError, FileNotFoundError) as e:
-            print(f"pair ({i},{j}) failed: {e}", file=sys.stderr)
-            ok = False
-        if ok:
-            w = float(max(info.get("score", 0.0), 1e-3))
-            edges.append((i, j, T, w))
-            print(f"pair ({i},{j}): score={info.get('score', 0):.3f} "
-                  f"overlap={info.get('overlap', 0):.3f}")
-        else:
-            n_fail += 1
+    if device_batch:
+        # all pairwise registrations through the sharded mesh batch path
+        # (scans loaded once, pairs chunked over the pairs axis)
+        clouds = {}
+        for i, j in pairs:
+            for k in (i, j):
+                if k not in clouds:
+                    clouds[k] = read_ply(scene.scan_files[k])
+        outcomes = register_array_pairs(
+            [(clouds[i][0], clouds[i][1], clouds[j][0], clouds[j][1])
+             for i, j in pairs], cfg, seed, mesh)
+        for (i, j), r in zip(pairs, outcomes):
+            if r.success:
+                edges.append((i, j, r.transform, float(max(r.score, 1e-3))))
+                print(f"pair ({i},{j}): score={r.score:.3f} "
+                      f"overlap={r.overlap:.3f}")
+            else:
+                n_fail += 1
+    else:
+        for (i, j) in pairs:
+            try:
+                T, info = register_files(scene.scan_files[i],
+                                         scene.scan_files[j], cfg, seed)
+                ok = bool(info.get("success"))
+            except (ValueError, FileNotFoundError) as e:
+                print(f"pair ({i},{j}) failed: {e}", file=sys.stderr)
+                ok = False
+            if ok:
+                w = float(max(info.get("score", 0.0), 1e-3))
+                edges.append((i, j, T, w))
+                print(f"pair ({i},{j}): score={info.get('score', 0):.3f} "
+                      f"overlap={info.get('overlap', 0):.3f}")
+            else:
+                n_fail += 1
     if not edges:
         print("all pairwise registrations failed", file=sys.stderr)
         return 1

@@ -64,6 +64,11 @@ class PladeConfig:
     #: candidate tournament keeps all candidates; the pool is rescored
     #: exactly every round so stale scores cannot win)
     ransac_pool: int = 32
+    #: newly drawn candidates are scored on every ``ransac_score_subset``-th
+    #: point (estimate scaled back up) — the reference's subset scoring
+    #: (Candidate::ImproveBounds on stratified octrees); pool candidates
+    #: and the accepted plane are always scored/trimmed on ALL points
+    ransac_score_subset: int = 4
     #: hard cap on greedy rounds (safety net; the overlook-probability
     #: termination normally fires long before)
     ransac_max_rounds: int = 512

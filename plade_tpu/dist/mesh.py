@@ -20,6 +20,7 @@ collectives; layouts are chosen so reductions ride ICI.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -98,3 +99,57 @@ def register_batch(tgt_batch: Cloud, src_batch: Cloud, keys, cfg: PladeConfig,
 def stack_clouds(clouds: list[Cloud]) -> Cloud:
     """Stack same-shape Clouds along a new leading batch axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+
+
+class PairOutcome(NamedTuple):
+    transform: np.ndarray   # (4, 4)
+    success: bool
+    score: float
+    overlap: float
+    matched_planes: int
+
+
+def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
+                         mesh: Mesh | None = None) -> "list[PairOutcome]":
+    """Register a list of raw numpy cloud pairs through the sharded device
+    pipeline in fixed-size mesh batches — the host-level entry every batch
+    flow (CLI --device-batch, RESSO/scene evaluation) funnels through.
+
+    ``cloud_pairs``: list of (tgt_pts, tgt_nrm, src_pts, src_nrm).
+    Returns one PairOutcome per input pair.  No target/source swap is
+    applied (the device fn mirrors the cloud-level reference overload,
+    plade.cpp:638-662).
+    """
+    from ..core.types import pad_cloud
+    from ..pipeline import _cap_cloud, _pad_size
+
+    capped = []
+    max_n = 0
+    for i, (tp, tn, sp, sn) in enumerate(cloud_pairs):
+        tp, tn = _cap_cloud(tp, tn, cfg.max_points, seed + 2 * i)
+        sp, sn = _cap_cloud(sp, sn, cfg.max_points, seed + 2 * i + 1)
+        max_n = max(max_n, tp.shape[0], sp.shape[0])
+        capped.append((tp, tn, sp, sn))
+    pad = _pad_size(max_n, maximum=cfg.max_points)
+
+    if mesh is None:
+        mesh = make_mesh()
+    B0 = mesh.shape[PAIRS]
+    results = []
+    for start in range(0, len(capped), B0):
+        chunk = capped[start:start + B0]
+        while len(chunk) < B0:
+            chunk.append(chunk[0])  # pad the batch with a repeat
+        tgt_b = stack_clouds([pad_cloud(c[0], c[1], pad) for c in chunk])
+        src_b = stack_clouds([pad_cloud(c[2], c[3], pad) for c in chunk])
+        keys = jax.random.split(jax.random.PRNGKey(seed + start), B0)
+        res = register_batch(tgt_b, src_b, keys, cfg, mesh)
+        T = np.asarray(res.transform)
+        ok = np.asarray(res.success)
+        sc = np.asarray(res.score)
+        ov = np.asarray(res.overlap)
+        mp = np.asarray(res.matched_planes)
+        for i in range(min(B0, len(capped) - start)):
+            results.append(PairOutcome(T[i], bool(ok[i]), float(sc[i]),
+                                       float(ov[i]), int(mp[i])))
+    return results

@@ -117,11 +117,15 @@ class _State(NamedTuple):
     min_support: jnp.ndarray   # () int32 — current support threshold
     drawn: jnp.ndarray         # () f32 — valid candidates drawn (decayed)
     trials: jnp.ndarray        # () int32 — support halvings used
+    exh_streak: jnp.ndarray    # () int32 — consecutive exhaustion rounds
     rounds: jnp.ndarray        # () int32 — greedy rounds executed
     pool_n: jnp.ndarray        # (C, 3) — candidate pool plane normals
     pool_d: jnp.ndarray        # (C,)   — candidate pool plane offsets
     pool_valid: jnp.ndarray    # (C,) bool
     level_probs: jnp.ndarray   # (L,) f32 — 3-point sampling level weights
+    ban_n: jnp.ndarray         # (K, 3) — trim-failed planes (ring buffer)
+    ban_d: jnp.ndarray         # (K,)
+    ban_count: jnp.ndarray     # () int32 — total bans pushed (ring cursor)
     done: jnp.ndarray          # () bool
 
 
@@ -204,12 +208,20 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
     log_overlook = _math.log(cfg.ransac_overlook_prob)
     hi = jax.lax.Precision.HIGHEST
 
+    R_SUB = max(1, cfg.ransac_score_subset)
+
     def round_body(state: _State, points, normals, valid, eps, bitmap_eps,
                    extent, floor_support, min_planes, max_trials):
         min_support = state.min_support
         key, k1, k_lvl, k_g2, k_g3 = jax.random.split(state.key, 5)
         free = valid & ~state.assigned
         free_f = jnp.maximum(jnp.sum(free.astype(jnp.float32)), 1.0)
+        # strided scoring subset (reference: Candidate::ImproveBounds scores
+        # on stratified subset octrees; exact scores only for the pool)
+        pts_sub = points[::R_SUB]
+        nrm_sub = normals[::R_SUB]
+        free_sub = free[::R_SUB]
+        n_sub = pts_sub.shape[0]
 
         # ---- candidate generation --------------------------------------
         # S distinct uniform anchors among free points via the Gumbel top-k
@@ -229,26 +241,27 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         seed_ok = anchor_free[:S_seed]
 
         # 3-point draws from an adaptively-weighted locality level
-        # (RansacShapeDetector::DrawSamplesStratified + GenerateCandidates)
+        # (RansacShapeDetector::DrawSamplesStratified + GenerateCandidates);
+        # companion points come from the scoring subset — an unbiased draw
         ap = anchor_p[S_seed:]                                  # (S_cell, 3)
         an = anchor_n[S_seed:]
         lvl = jax.random.categorical(
             k_lvl, jnp.log(jnp.maximum(state.level_probs, 1e-9)),
             shape=(S_cell,))
         radius = extent * (0.87 / (2.0 ** (lvl.astype(jnp.float32) + 1.0)))
-        # (N, S_cell) anchor distances: the cross term rides the MXU
-        d2a = (jnp.sum(points * points, -1)[:, None]
-               - 2.0 * jnp.dot(points, ap.T, precision=hi)
+        # (N_sub, S_cell) anchor distances: the cross term rides the MXU
+        d2a = (jnp.sum(pts_sub * pts_sub, -1)[:, None]
+               - 2.0 * jnp.dot(pts_sub, ap.T, precision=hi)
                + jnp.sum(ap * ap, -1)[None, :])
-        within = (d2a <= (radius * radius)[None, :]) & free[:, None]
+        within = (d2a <= (radius * radius)[None, :]) & free_sub[:, None]
         # two independent uniform picks per cell via shared gumbel noise
         # (degenerate coincidences collapse the cross product and are
         # rejected below)
-        g2 = jax.random.uniform(k_g2, (free.shape[0],))
-        g3 = jax.random.uniform(k_g3, (free.shape[0],))
+        g2 = jax.random.uniform(k_g2, (n_sub,))
+        g3 = jax.random.uniform(k_g3, (n_sub,))
         pick2 = jnp.argmax(jnp.where(within, g2[:, None], -1.0), axis=0)
         pick3 = jnp.argmax(jnp.where(within, g3[:, None], -1.0), axis=0)
-        p2, p3 = points[pick2], points[pick3]
+        p2, p3 = pts_sub[pick2], pts_sub[pick3]
         cross = jnp.cross(p2 - ap, p3 - ap)
         cnorm = jnp.linalg.norm(cross, axis=-1)
         cn = cross / jnp.maximum(cnorm, _EPS)[:, None]
@@ -256,8 +269,8 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         # FlatNormalThreshPointCompatibilityFunc check on the samples)
         thr = cfg.ransac_normal_thresh
         nok = (jnp.abs(jnp.sum(cn * an, -1)) > thr) \
-            & (jnp.abs(jnp.sum(cn * _normalize(normals[pick2]), -1)) > thr) \
-            & (jnp.abs(jnp.sum(cn * _normalize(normals[pick3]), -1)) > thr)
+            & (jnp.abs(jnp.sum(cn * _normalize(nrm_sub[pick2]), -1)) > thr) \
+            & (jnp.abs(jnp.sum(cn * _normalize(nrm_sub[pick3]), -1)) > thr)
         enough = jnp.sum(within.astype(jnp.int32), axis=0) >= 3
         cell_ok = anchor_free[S_seed:] & enough & nok & (cnorm > 1e-10)
         cell_d = -jnp.sum(cn * ap, axis=-1)
@@ -266,17 +279,43 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         cand_d = jnp.concatenate([seed_d, cell_d], axis=0)
         cand_ok = jnp.concatenate([seed_ok, cell_ok], axis=0)
 
-        # ---- exact scoring of new candidates + pool (MXU; full f32 —
-        # eps sits near bf16 noise of O(1) coordinates) ------------------
+        # candidates matching a banned plane (one whose trimmed support
+        # failed min_support at this level) are rejected at generation —
+        # the analog of the reference permanently shrinking such candidates
+        # in its tournament.  The ban list clears on every support halving.
+        def banned_mask(nmat, dvec):
+            dots = nmat @ state.ban_n.T                          # (., K)
+            sgn = jnp.sign(dots + 1e-30)
+            near = (jnp.abs(dots) > 0.999) & \
+                (jnp.abs(dvec[:, None] * sgn - state.ban_d[None, :])
+                 < 3.0 * eps)
+            live = jnp.arange(state.ban_n.shape[0]) < \
+                jnp.minimum(state.ban_count, state.ban_n.shape[0])
+            return jnp.any(near & live[None, :], axis=1)
+
+        cand_ok &= ~banned_mask(cand_n, cand_d)
+
+        # ---- scoring (MXU; full f32 — eps sits near bf16 noise of O(1)
+        # coordinates).  New candidates score on the subset (estimate
+        # scaled by R_SUB); pool candidates score exactly on all points,
+        # so acceptance and the greedy argmax never act on estimates that
+        # survived a round.
+        def inlier_counts(pts, nrms, fr, nmat, dvec):
+            dd = jnp.abs(jnp.dot(pts, nmat.T, precision=hi) + dvec[None, :])
+            nd = jnp.abs(jnp.dot(nrms, nmat.T, precision=hi))
+            ok = (dd < eps) & (nd > thr) & fr[:, None]
+            return jnp.sum(ok.astype(jnp.int32), axis=0)
+
+        counts_new = inlier_counts(pts_sub, nrm_sub, free_sub,
+                                   cand_n, cand_d) * R_SUB
+        counts_pool = inlier_counts(points, normals, free,
+                                    state.pool_n, state.pool_d)
         all_n = jnp.concatenate([cand_n, state.pool_n], axis=0)  # (S+C, 3)
         all_d = jnp.concatenate([cand_d, state.pool_d], axis=0)
         all_ok = jnp.concatenate([cand_ok, state.pool_valid], axis=0)
-        dist = jnp.abs(jnp.dot(points, all_n.T, precision=hi)
-                       + all_d[None, :])                        # (N, S+C)
-        ndot = jnp.abs(jnp.dot(normals, all_n.T, precision=hi))
-        compat = (dist < eps) & (ndot > thr) & free[:, None]
+        all_ok &= ~banned_mask(all_n, all_d)   # clear lingering pool copies
         counts = jnp.where(all_ok,
-                           jnp.sum(compat.astype(jnp.int32), axis=0), 0)
+                           jnp.concatenate([counts_new, counts_pool]), 0)
 
         # ---- sampling-level reweighting (UpdateLevelWeights, factor .5) -
         contrib = jnp.where(cell_ok, counts[S_seed:S].astype(jnp.float32),
@@ -291,8 +330,16 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                            jnp.full((L,), 1.0 / L))
         new_level_probs = 0.5 * probs + 0.5 * normed
 
-        # ---- pool merge: keep the top C by exact inlier count ----------
-        top_counts, top_idx = jax.lax.top_k(counts, C)
+        # ---- pool merge: keep the top C by inlier count.  Pool entries
+        # win ties against fresh duplicates of themselves (top_k breaks
+        # ties by index, which would otherwise evict every exactly-scored
+        # entry in favor of its this-round subset estimate, so acceptance
+        # could never see an exact entry) -------------------------------
+        is_pool = jnp.concatenate([jnp.zeros(S, jnp.int32),
+                                   jnp.ones(C, jnp.int32)])
+        merge_key = counts * 2 + is_pool
+        _, top_idx = jax.lax.top_k(merge_key, C)
+        top_counts = counts[top_idx]
         pool_n = all_n[top_idx]
         pool_d = all_d[top_idx]
         pool_valid = all_ok[top_idx] & (top_counts > 0)
@@ -307,10 +354,14 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             p = jnp.clip(k_f / (4.0 * free_f), 0.0, 0.999999)
             return drawn * jnp.log1p(-p)
 
-        best = jnp.argmax(jnp.where(pool_valid, top_counts, -1))
+        # acceptance only ever fires on exactly-scored entries: candidates
+        # entering the pool this round carry subset estimates and must
+        # survive one exact rescore first (top_idx >= S marks pool origin)
+        exact_entry = top_idx >= S
+        best = jnp.argmax(jnp.where(pool_valid & exact_entry, top_counts, -1))
         best_count = top_counts[best]
         confident = log_pfail(best_count.astype(jnp.float32)) <= log_overlook
-        try_accept = confident & pool_valid[best] \
+        try_accept = confident & pool_valid[best] & exact_entry[best] \
             & (best_count >= min_support) \
             & (state.num_planes < max_extract)
 
@@ -353,10 +404,21 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         support = jnp.sum(kept.astype(jnp.int32))
         accept = try_accept & (support >= min_support)
         # a confident candidate whose trimmed support fails the threshold is
-        # suppressed so the pool cannot retry it forever
-        pool_valid = jnp.where(
-            try_accept & ~accept,
-            pool_valid.at[best].set(False), pool_valid)
+        # suppressed AND banned, so neither its pool copy nor freshly drawn
+        # duplicates can retry it at this support level
+        trim_fail = try_accept & ~accept
+        pool_valid = jnp.where(trim_fail,
+                               pool_valid.at[best].set(False), pool_valid)
+        K_ban = state.ban_n.shape[0]
+        cursor = jnp.mod(state.ban_count, K_ban)
+        ban_n = jnp.where(trim_fail,
+                          state.ban_n.at[cursor].set(pool_n[best]),
+                          state.ban_n)
+        ban_d = jnp.where(trim_fail,
+                          state.ban_d.at[cursor].set(pool_d[best]),
+                          state.ban_d)
+        ban_count = jnp.where(trim_fail, state.ban_count + 1,
+                              state.ban_count)
 
         # orient normal along mean support-point normal (intended
         # correct_normal semantics; see module docstring)
@@ -387,9 +449,20 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
 
         # ---- overlook-probability termination / auto-tune halving ------
         # exhausted: even a plane of exactly min_support would have been
-        # found by now w.p. 1 - overlook_prob
-        exhausted = (log_pfail(min_support.astype(jnp.float32))
-                     <= log_overlook) & ~accept
+        # found by now w.p. 1 - overlook_prob.  The claim is contradicted
+        # while the pool holds an exactly-scored viable candidate; and
+        # because acceptance lags candidate generation by one round (subset
+        # estimates must be rescored exactly), the condition must hold two
+        # consecutive rounds before it fires — a fresh >= min_support draw
+        # always breaks the streak on its exact rescore.  The residual
+        # probability of terminating past an undrawn plane is exactly the
+        # configured overlook bound.
+        pending = jnp.any(pool_valid & exact_entry
+                          & (top_counts >= min_support))
+        exh_cond = (log_pfail(min_support.astype(jnp.float32))
+                    <= log_overlook) & ~accept & ~pending
+        exh_streak = jnp.where(exh_cond, state.exh_streak + 1, 0)
+        exhausted = exh_streak >= 2
         need_more = num_planes < min_planes
         can_halve = (min_support > floor_support) & (state.trials < max_trials)
         halve = exhausted & need_more & can_halve
@@ -411,11 +484,17 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             min_support=new_support,
             drawn=drawn,
             trials=jnp.where(halve, state.trials + 1, state.trials),
+            exh_streak=jnp.where(halve, 0, exh_streak),
             rounds=rounds,
             pool_n=pool_n,
             pool_d=pool_d,
             pool_valid=pool_valid,
             level_probs=new_level_probs,
+            ban_n=ban_n,
+            ban_d=ban_d,
+            # bans are per-support-level: a plane too small for this level
+            # may be perfectly valid after halving
+            ban_count=jnp.where(halve, 0, ban_count),
             done=done,
         )
 
@@ -454,11 +533,15 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                                     jnp.asarray(floor_support, jnp.int32)),
             drawn=jnp.asarray(0.0, jnp.float32),
             trials=jnp.asarray(0, jnp.int32),
+            exh_streak=jnp.asarray(0, jnp.int32),
             rounds=jnp.asarray(0, jnp.int32),
             pool_n=jnp.zeros((C, 3), jnp.float32),
             pool_d=jnp.zeros((C,), jnp.float32),
             pool_valid=jnp.zeros((C,), jnp.bool_),
             level_probs=jnp.full((L,), 1.0 / L, jnp.float32),
+            ban_n=jnp.zeros((8, 3), jnp.float32),
+            ban_d=jnp.zeros((8,), jnp.float32),
+            ban_count=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
         )
 

@@ -19,10 +19,14 @@ import jax.numpy as jnp
 
 from ..core.types import BIG, Cloud
 
-# Classic spatial-hash primes (Teschner et al. 2003).
-_HX = jnp.int32(73856093)
-_HY = jnp.int32(19349663)
-_HZ = jnp.int32(83492791)
+# Classic spatial-hash primes (Teschner et al. 2003).  Plain numpy scalars:
+# module-level jnp constants would initialize the XLA backend at import
+# time, which breaks jax.distributed.initialize() in multi-process runs.
+import numpy as _np
+
+_HX = _np.int32(73856093)
+_HY = _np.int32(19349663)
+_HZ = _np.int32(83492791)
 
 
 def _cell_hash(ix, iy, iz):

@@ -134,8 +134,16 @@ def rotation_error_deg(Ra: np.ndarray, Rb: np.ndarray) -> float:
 
 def evaluate_scene(scene: RessoScene, cfg=None, pairs=None, seed: int = 0,
                    rot_thresh_deg: float = 5.0, trans_thresh: float = 0.5,
-                   verbose: bool = True) -> EvalSummary:
-    """Register scan pairs of a scene and score against ground truth."""
+                   verbose: bool = True, device_batch: bool = False,
+                   mesh=None) -> EvalSummary:
+    """Register scan pairs of a scene and score against ground truth.
+
+    ``device_batch=True`` routes all pairs through the sharded device
+    pipeline (dist/mesh.register_array_pairs) instead of the sequential
+    host loop — the framework's flagship evaluation shape (one mesh batch
+    per pairs-axis chunk) rather than the reference's per-pair
+    orchestration (main.cpp:97-158).
+    """
     from ..core.config import PladeConfig
     from ..pipeline import register_files
 
@@ -143,13 +151,31 @@ def evaluate_scene(scene: RessoScene, cfg=None, pairs=None, seed: int = 0,
     pairs = pairs if pairs is not None else consecutive_pairs(scene)
     summary = EvalSummary(rot_thresh_deg=rot_thresh_deg,
                           trans_thresh=trans_thresh)
-    for i, j in pairs:
+
+    if device_batch:
+        from ..dist.mesh import register_array_pairs
+        from .ply import read_ply
+        clouds = {}
+        for i, j in pairs:
+            for k in (i, j):
+                if k not in clouds:
+                    clouds[k] = read_ply(scene.scan_files[k])
+        cloud_pairs = [(clouds[i][0], clouds[i][1],
+                        clouds[j][0], clouds[j][1]) for i, j in pairs]
+        outcomes = register_array_pairs(cloud_pairs, cfg, seed, mesh)
+    else:
+        outcomes = None
+
+    for idx, (i, j) in enumerate(pairs):
         tgt, src = scene.scan_files[i], scene.scan_files[j]
-        try:
-            T, info = register_files(tgt, src, cfg, seed)
-            ok = bool(info.get("success"))
-        except (ValueError, FileNotFoundError):
-            T, ok = np.eye(4), False
+        if outcomes is not None:
+            T, ok = outcomes[idx].transform, outcomes[idx].success
+        else:
+            try:
+                T, info = register_files(tgt, src, cfg, seed)
+                ok = bool(info.get("success"))
+            except (ValueError, FileNotFoundError):
+                T, ok = np.eye(4), False
         r = PairResult(target=tgt, source=src, transform=T, success=ok)
         if scene.gt_poses is not None:
             G = scene.pair_ground_truth(i, j)

@@ -39,3 +39,34 @@ def test_polyhedron_pair_matches_groundtruth():
     # from GT at ~1e-2 (BASELINE.md); polyhedron is cleaner
     assert rot_err < 1.0, (T, rot_err)
     assert trans_err < 0.05, (T, trans_err)
+
+
+def test_noisy_fullscale_scan_pair():
+    """Full-scale noisy golden standing in for the missing room pair
+    (VERDICT missing #4): ~94k-point synthetic building scans with
+    realistic scan noise (0.5% of extent), ~6 deg per-point normal error,
+    and partial occlusion (the two scans see overlapping but different
+    world regions), run at the DEFAULT config.  Thresholds mirror the
+    room-pair tolerances (reference run differs from room GT at ~1e-2,
+    sample_data/room_source_groundtruth.txt vs file_pairs_results.txt).
+    """
+    from plade_tpu.core.config import PladeConfig
+    from plade_tpu.io.synthetic import make_scan_sequence
+    from plade_tpu.pipeline import register_clouds
+
+    rng = np.random.default_rng(12)
+    scans, poses = make_scan_sequence(
+        rng, n_scans=2, n_points=94000, overlap_radius=3.6, step=2.2,
+        n_rooms=3, n_per_plane=22000, noise=0.02, size=4.0, extra_planes=3,
+        normal_noise_deg=6.0, max_angle=1.2, max_trans=0.8)
+    (tp, tn), (sp, sn) = scans
+    assert min(tp.shape[0], sp.shape[0]) >= 90000  # full-scale like room
+    G = np.linalg.inv(poses[0]) @ poses[1]  # source scan -> target scan
+
+    T, info = register_clouds(tp, tn, sp, sn, PladeConfig(), seed=0)
+    assert info["success"], info
+    c = (np.trace(G[:3, :3].T @ T[:3, :3]) - 1.0) / 2.0
+    rot_err = np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+    trans_err = np.linalg.norm(T[:3, 3] - G[:3, 3])
+    assert rot_err < 2.0, (T, rot_err)
+    assert trans_err < 0.15, (T, trans_err)

