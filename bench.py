@@ -41,19 +41,26 @@ def main():
     src = pad_cloud(sp, sn, pad)
     fn = register_pair_device(cfg, pad)
 
+    def hard_sync(r):
+        # jax.block_until_ready can return before the remote execution
+        # finishes on this runtime (CLAUDE.md); a host readback of the
+        # result is the only reliable fence
+        return float(np.asarray(r.transform).sum()) + float(
+            np.asarray(r.success).sum())
+
     # warm-up (compile) — key 0 also provides the reported pose
     res = fn(tgt, src, jax.random.PRNGKey(0))
-    jax.block_until_ready(res)
+    hard_sync(res)
 
     # timing keys must be fresh across runs AND processes: the axon
     # runtime memoizes identical (executable, inputs) executions, so a
     # repeated key measures the result-fetch round-trip, not the compute
     base = int.from_bytes(os.urandom(4), "little")
-    runs = 3
+    runs = 5
     t0 = time.perf_counter()
     for i in range(runs):
         r = fn(tgt, src, jax.random.PRNGKey(base + i))
-        jax.block_until_ready(r)
+        hard_sync(r)
     dt = (time.perf_counter() - t0) / runs
 
     T = np.asarray(res.transform)
@@ -70,15 +77,24 @@ def main():
     tgt_b = jax.tree.map(lambda x: jnp.stack([x] * B), tgt)
     src_b = jax.tree.map(lambda x: jnp.stack([x] * B), src)
     rb = vfn(tgt_b, src_b, jax.random.split(jax.random.PRNGKey(1), B))
-    jax.block_until_ready(rb)
+    hard_sync(rb)
     t0 = time.perf_counter()
-    bruns = 2
+    bruns = 3
     for i in range(bruns):
         rb = vfn(tgt_b, src_b,
                  jax.random.split(jax.random.PRNGKey(base + 100 + i), B))
-        jax.block_until_ready(rb)
+        hard_sync(rb)
     batch_dt = (time.perf_counter() - t0) / (bruns * B)
     batch_ok = bool(np.asarray(rb.success).all())
+
+    # multi-seed robustness (the C++ reference measured 7/10 on this pair,
+    # BASELINE.md): the last batched run used B distinct PRNG keys — score
+    # each pose against ground truth
+    Tb = np.asarray(rb.transform)
+    cb = (np.trace(np.einsum("ij,bjk->bik", GT[:3, :3].T, Tb[:, :3, :3]),
+                   axis1=1, axis2=2) - 1.0) / 2.0
+    rot_b = np.degrees(np.arccos(np.clip(cb, -1.0, 1.0)))
+    seed_successes = int(np.sum((rot_b < 5.0) & np.asarray(rb.success)))
 
     # ICP refinement value-add: error delta vs the coarse pose on the same
     # pair (the reference ships the raw hypothesis; refine/icp.py is this
@@ -87,27 +103,42 @@ def main():
     fn_icp = register_pair_device(dataclasses.replace(cfg, enable_icp=True),
                                   pad)
     res_icp = fn_icp(tgt, src, jax.random.PRNGKey(0))
-    jax.block_until_ready(res_icp)
+    hard_sync(res_icp)
     Ti = np.asarray(res_icp.transform)
     ci = (np.trace(GT[:3, :3].T @ Ti[:3, :3]) - 1.0) / 2.0
     icp_rot = float(np.degrees(np.arccos(np.clip(ci, -1.0, 1.0))))
     icp_trans = float(np.linalg.norm(Ti[:3, 3] - GT[:3, 3]))
 
-    pairs_per_s = 1.0 / dt
+    # headline = batched throughput (the production batch path; every
+    # timed iteration above is fenced by a host readback, so single and
+    # batched share one defensible methodology — BENCH honesty per
+    # VERDICT r2 #2)
+    batched_pairs_per_s = 1.0 / batch_dt
+    single_pairs_per_s = 1.0 / dt
     out = {
         "metric": "sample_pair_registration_throughput",
-        "value": round(pairs_per_s, 4),
+        "value": round(batched_pairs_per_s, 4),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s * REF_SECONDS_PER_PAIR, 2),
+        "vs_baseline": round(batched_pairs_per_s * REF_SECONDS_PER_PAIR, 2),
         "extra": {
-            "wall_s_per_pair": round(dt, 3),
+            "batched_s_per_pair": round(batch_dt, 4),
+            "batch_size": B,
+            "single_pairs_per_s": round(single_pairs_per_s, 4),
+            "single_s_per_pair": round(dt, 4),
             "rot_err_deg": round(rot_err_deg, 3),
             "trans_err": round(trans_err, 4),
             "success": bool(res.success),
-            "batched_pairs_per_s": round(1.0 / batch_dt, 4),
             "batched_all_success": batch_ok,
+            "seed_success_rate": f"{seed_successes}/{B}",
+            "seed_success_note": "rot err < 5 deg vs GT over the batch's "
+                                 "distinct PRNG keys; C++ reference "
+                                 "measured 7/10 (BASELINE.md)",
             "icp_rot_err_deg": round(icp_rot, 4),
             "icp_trans_err": round(icp_trans, 5),
+            "timing_note": "each timed run hard-synced via host readback "
+                           "(block_until_ready alone returns early on "
+                           "this runtime); fresh PRNG keys defeat the "
+                           "runtime execution memoizer",
             "baseline_note": "vs measured 6.87 s/pair reference median "
                              "(10 runs, tools/refbaseline build, "
                              "BASELINE.md)"

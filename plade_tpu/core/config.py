@@ -40,6 +40,19 @@ class PladeConfig:
     plane_pair_max_cos: float = 0.95
     #: target/source swapped when source >= 1.2x target (plade.cpp:690)
     swap_size_ratio: float = 1.2
+    #: intersection lines farther than ``line_radius_factor x`` the cloud
+    #: OBB's enclosing-sphere radius (half-diagonal) from the bounding
+    #: center are discarded, and candidate poses whose transformed source
+    #: center exceeds the same bound are rejected.  DELIBERATE DEVIATION:
+    #: the reference uses max(width,height,depth)/2 (plade.cpp:84,137-142,
+    #: util.cpp:359-363) — a sphere that does NOT contain the cloud, so on
+    #: partial scans it rejects true wall-intersection lines near the scan
+    #: perimeter and can reject the true pose outright (measured: the
+    #: small-overlap scenario loses all but one corresponding line).  The
+    #: half-diagonal is the tightest center-sphere containing the box:
+    #: any line farther away cannot touch observed points, so this keeps
+    #: strictly more true lines while still pruning junk.
+    line_radius_factor: float = 1.0
 
     # ----- plane extraction (reference: plane_extraction.h:56-63, extract()
     # auto-tuner plade.cpp:602-635) -----
@@ -81,6 +94,20 @@ class PladeConfig:
     #: CC label-propagation iterations (with pointer jumping each step
     #: covers a doubling propagation radius; 16 saturates a 64^2 grid)
     bitmap_cc_iters: int = 16
+
+    # ----- line confidence (plade.cpp:144-162, util.h:389-426) -----
+    #: cull lines whose confidence (min over the two supporting planes of
+    #: ``|plane ds points| * dsd^2 / mean-squared line-to-plane-cloud
+    #: distance``) falls below this.  The reference computes the value with
+    #: threshold 1.0 but the cull is commented out (plade.cpp:161) —
+    #: default 0.0 preserves that live behavior; set ~1.0 to enable the
+    #: paper's gate on noisy scans.
+    min_line_confidence: float = 0.0
+    #: sampling interval along the line (world units; reference 0.5,
+    #: plade.cpp:150) — stretched when the span exceeds
+    #: ``line_conf_samples`` steps
+    line_conf_interval: float = 0.5
+    line_conf_samples: int = 32
 
     # ----- average spacing (util.cpp:1619-1648) -----
     spacing_k: int = 6

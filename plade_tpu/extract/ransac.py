@@ -459,8 +459,13 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         # configured overlook bound.
         pending = jnp.any(pool_valid & exact_entry
                           & (top_counts >= min_support))
-        exh_cond = (log_pfail(min_support.astype(jnp.float32))
-                    <= log_overlook) & ~accept & ~pending
+        # fewer free points than min_support leaves nothing to find — a
+        # certainty, not a probability; without this the drawn counter
+        # stalls at 0 (no valid candidates can be generated) and the
+        # overlook bound never fires, burning rounds to the hard cap
+        no_room = jnp.sum(free.astype(jnp.int32)) < min_support
+        exh_cond = ((log_pfail(min_support.astype(jnp.float32))
+                     <= log_overlook) | no_room) & ~accept & ~pending
         exh_streak = jnp.where(exh_cond, state.exh_streak + 1, 0)
         exhausted = exh_streak >= 2
         need_more = num_planes < min_planes

@@ -44,11 +44,23 @@ def make_plane_points(rng, center, u, v, extent_u, extent_v, n, noise=0.0,
     return pts.astype(np.float32), normals.astype(np.float32)
 
 
+#: face names for ``make_room(faces=...)`` in spec order
+ROOM_FACES = ("floor", "wall_y-", "wall_x-", "wall_y+", "wall_x+",
+              "ceiling")
+
+
 def make_room(rng, n_per_plane=3000, noise=0.0, size=4.0, extra_planes=4,
-              normal_noise_deg=0.0):
+              normal_noise_deg=0.0, faces=None):
     """A box 'room' (floor + 2-4 walls + ceiling patches) plus a few tilted
     interior planes so plane pairs are non-degenerate.  Normals point into
     the room interior (consistent orientation, like scanner data).
+
+    ``faces`` selects a subset of :data:`ROOM_FACES` (default: all six).
+    Real terrestrial scans rarely see every face of a room; an asymmetric
+    face subset also removes the box's 180-degree pose symmetries, which
+    otherwise make a flipped registration nearly as consistent with the
+    data as the true one (the C++ reference's own polyhedron failure mode,
+    BASELINE.md: 3/10 runs lock a symmetric wrong pose).
 
     Returns (points, normals, plane_list) with plane_list of
     (normal, d) ground-truth coefficients.
@@ -63,6 +75,12 @@ def make_room(rng, n_per_plane=3000, noise=0.0, size=4.0, extra_planes=4,
         (( s, 0, 0), (0, 1, 0), (0, 0, 1)),    # wall x=+s (n = -x)
         (( 0, 0, s), (1, 0, 0), (0, 1, 0)),    # ceiling (n = -z)
     ]
+    if faces is not None:
+        keep = set(faces)
+        unknown = keep - set(ROOM_FACES)
+        if unknown:
+            raise ValueError(f"unknown faces {sorted(unknown)}")
+        specs = [sp for name, sp in zip(ROOM_FACES, specs) if name in keep]
     interior = np.zeros(3)
     pts_list, nrm_list, planes = [], [], []
     for k, (c, u, v) in enumerate(specs):

@@ -120,40 +120,115 @@ class Clusters(NamedTuple):
 
 
 def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
-                  dist_tol, euler_tol, max_clusters: int) -> Clusters:
-    """Grid-bin pose clustering over the 6-D (t, euler) embedding.
+                  dist_tol, euler_tol, max_clusters: int,
+                  chunk: int = 1024) -> Clusters:
+    """Exact single-linkage pose clustering over the 6-D (t, euler)
+    embedding, in fixed shape.
 
-    The reference single-links hypotheses whose translations are within
-    ``lengthThreshold/2`` and whose Euler-angle vectors differ by less than
-    sqrt(angleThreshold/2) (ClusterTransformation + EnforceSimilarity,
-    util.cpp:1232-1277).  Binning at those tolerances merges the same dense
-    hypothesis clumps in fixed shape; the representative is the first member
-    (the reference uses ``cluster.indices[0]``).
+    Matches the reference semantics (ClusterTransformation +
+    EnforceSimilarity, util.cpp:1232-1277): hypotheses are linked when
+    their translations are within ``dist_tol`` (Euclidean, the CEC cluster
+    tolerance = lengthThreshold/2) AND their Euler-angle vectors differ by
+    less than ``euler_tol`` (squared-norm < angleThreshold/2); clusters are
+    the connected components of that graph.  The representative is the
+    smallest hypothesis index in the component (PCL's BFS seeds clusters
+    at the first unvisited index, so ``cluster.indices[0]`` is exactly the
+    component minimum); clusters rank by size descending (the reference's
+    sort at util.cpp:337-355).
+
+    TPU shape: min-label propagation over the implicit adjacency.  Each
+    sweep computes the (chunk x H) translation/Euler distance blocks on
+    the MXU and takes the min label over each row's neighbors; two pointer
+    jumps (labels <- labels[labels]) square the effective propagation
+    distance; a while_loop runs sweeps until the labeling is a fixed point
+    — exact connected components, no grid-boundary splits.  Dense clumps
+    converge in 2-3 sweeps.
     """
     H = R.shape[0]
     roll, pitch, yaw = euler_angles(R)
     e = jnp.stack([roll, pitch, yaw], axis=-1)
-    cells_t = jnp.floor(t / dist_tol).astype(jnp.int32)
-    cells_e = jnp.floor(e / euler_tol).astype(jnp.int32)
-    sentinel = jnp.int32(2**24)
-    arange = jnp.arange(H, dtype=jnp.int32)
-    c0 = jnp.where(valid, cells_t[:, 0], sentinel + arange)
-    cols = [c0, cells_t[:, 1], cells_t[:, 2],
-            cells_e[:, 0], cells_e[:, 1], cells_e[:, 2]]
-    order = jnp.lexsort(cols[::-1])
-    sorted_cols = [c[order] for c in cols]
-    changed = jnp.zeros(H, jnp.bool_).at[0].set(True)
-    for c in sorted_cols:
-        changed = changed | jnp.concatenate(
-            [jnp.ones(1, jnp.bool_), c[1:] != c[:-1]])
-    seg = jnp.cumsum(changed.astype(jnp.int32)) - 1          # (H,) sorted-seg id
-    sorted_valid = valid[order]
-    counts = jnp.zeros(H, jnp.int32).at[seg].add(sorted_valid.astype(jnp.int32))
-    first_pos = jnp.full(H, H, jnp.int32).at[seg].min(jnp.arange(H, dtype=jnp.int32))
-    top_counts, top_seg = jax.lax.top_k(counts, max_clusters)
-    rep_sorted_pos = first_pos[top_seg]
-    rep = order[jnp.minimum(rep_sorted_pos, H - 1)]
+    tt = jnp.sum(t * t, axis=-1)
+    ee = jnp.sum(e * e, axis=-1)
+    d2t_tol = jnp.asarray(dist_tol, jnp.float32) ** 2
+    d2e_tol = jnp.asarray(euler_tol, jnp.float32) ** 2
+    idx = jnp.arange(H, dtype=jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
+
+    chunk = min(chunk, H)
+    nchunks = (H + chunk - 1) // chunk
+    Hp = nchunks * chunk
+    pad = Hp - H
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
+            if pad else x
+
+    t_p = pad0(t).reshape(nchunks, chunk, 3)
+    e_p = pad0(e).reshape(nchunks, chunk, 3)
+    tt_p = pad0(tt).reshape(nchunks, chunk)
+    ee_p = pad0(ee).reshape(nchunks, chunk)
+    v_p = pad0(valid).reshape(nchunks, chunk)
+
+    def sweep(labels):
+        def one(args):
+            tr, er, ttr, eer, vr = args
+            d2t = ttr[:, None] - 2.0 * jnp.dot(tr, t.T, precision=hi) \
+                + tt[None, :]
+            d2e = eer[:, None] - 2.0 * jnp.dot(er, e.T, precision=hi) \
+                + ee[None, :]
+            adj = (d2t <= d2t_tol) & (d2e < d2e_tol) \
+                & vr[:, None] & valid[None, :]
+            return jnp.min(jnp.where(adj, labels[None, :], H), axis=1)
+
+        new = jax.lax.map(one, (t_p, e_p, tt_p, ee_p, v_p)).reshape(Hp)[:H]
+        lab = jnp.minimum(labels, new.astype(jnp.int32))
+        lab = jnp.minimum(lab, lab[lab])     # pointer jump x2
+        return jnp.minimum(lab, lab[lab])
+
+    def cond(state):
+        labels, prev, it = state
+        return jnp.any(labels != prev) & (it < 32)
+
+    def body(state):
+        labels, _, it = state
+        return sweep(labels), labels, it + 1
+
+    init = sweep(idx)
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, idx, jnp.int32(1)))
+
+    counts = jnp.zeros(H, jnp.int32).at[labels].add(
+        valid.astype(jnp.int32), mode="drop")
+
+    # representative = member nearest the cluster's 6-D centroid.
+    # DELIBERATE DEVIATION: the reference takes ``cluster.indices[0]`` —
+    # an arbitrary (insertion-order) member, often a fringe pose whose
+    # sloppy alignment then fails verification downstream; the centroid
+    # mode is the density peak the clustering exists to find.
+    vf = valid.astype(jnp.float32)[:, None]
+    cnt_f = jnp.maximum(counts.astype(jnp.float32), 1.0)
+    tmean = (jnp.zeros((H, 3)).at[labels].add(t * vf, mode="drop")
+             / cnt_f[:, None])[labels]
+    emean = (jnp.zeros((H, 3)).at[labels].add(e * vf, mode="drop")
+             / cnt_f[:, None])[labels]
+    d = jnp.sum((t - tmean) ** 2, -1) / jnp.maximum(d2t_tol, 1e-12) \
+        + jnp.sum((e - emean) ** 2, -1) / jnp.maximum(d2e_tol, 1e-12)
+    # scatter-argmin via packed (quantized distance, index) int32 keys:
+    # distance ranks in the high bits, the index tie-breaks (and is
+    # recovered by masking).  H <= 2^16 indices, 2^15 distance bins.
+    imax = jnp.iinfo(jnp.int32).max
+    q = jnp.clip(d * 4096.0, 0.0, 32766.0).astype(jnp.int32)
+    packed = jnp.where(valid, (q << 16) | idx, imax)
+    best = jnp.full((H,), imax, jnp.int32).at[labels].min(
+        packed, mode="drop")
+    rep_of_root = best & jnp.int32(0xFFFF)
+
+    k = min(max_clusters, H)
+    top_counts, top_root = jax.lax.top_k(counts, k)
+    if k < max_clusters:
+        top_counts = jnp.pad(top_counts, (0, max_clusters - k))
+        top_root = jnp.pad(top_root, (0, max_clusters - k))
     cvalid = top_counts > 0
+    rep = jnp.where(cvalid, rep_of_root[top_root], 0)
     return Clusters(rep=rep.astype(jnp.int32), size=top_counts,
                     valid=cvalid)
 

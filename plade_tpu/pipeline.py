@@ -42,6 +42,68 @@ from .verify import overlap as overlap_mod
 from .verify import penetration
 
 
+def _line_confidence(lines: LineSet, geom: PlaneGeometry, dsd,
+                     cfg: PladeConfig) -> jnp.ndarray:
+    """(L,) per-line confidence = min over the two supporting planes of
+    ``|plane ds points| * dsd^2 / mean-squared line-to-plane distance``.
+
+    Mirrors ComputeMeanDistanceOfLine2Plane (util.h:389-426): project the
+    plane's bounding corners onto the line, walk the projected span at
+    ``line_conf_interval`` steps (stretched so ``line_conf_samples`` cover
+    the span), and average the squared nearest-neighbor distance into the
+    plane's downsampled points; confidence per plade.cpp:153-160."""
+    S = cfg.line_conf_samples
+    u = lines.direction                                      # (L, 3)
+    p = lines.point
+    sup = lines.support                                      # (L, 2)
+    corners = geom.corners[sup]                              # (L, 2, 4, 3)
+    tproj = jnp.sum((corners - p[:, None, None, :])
+                    * u[:, None, None, :], -1)               # (L, 2, 4)
+    lo = jnp.min(tproj, axis=-1)
+    hi = jnp.max(tproj, axis=-1)
+    span = hi - lo
+    step = jnp.maximum(jnp.float32(cfg.line_conf_interval), span / S)
+    pos = lo[..., None] + jnp.arange(S, dtype=jnp.float32) \
+        * step[..., None]                                    # (L, 2, S)
+    smask = pos < hi[..., None]
+    smask = smask.at[..., 0].set(True)                       # >= 1 sample
+    q = p[:, None, None, :] + pos[..., None] * u[:, None, None, :]
+
+    cnt = geom.ds_counts[sup]                                # (L, 2)
+    hiP = jax.lax.Precision.HIGHEST
+
+    def one(args):
+        qc, supc, cntc = args                                # (c,2,S,3) ...
+        pts = geom.ds_points[supc]                           # (c,2,M,3)
+        M = pts.shape[2]
+        pmask = jnp.arange(M)[None, None, :] < cntc[..., None]
+        d2 = (jnp.sum(qc * qc, -1)[..., None]
+              - 2.0 * jnp.einsum("lksi,lkmi->lksm", qc, pts, precision=hiP)
+              + jnp.sum(pts * pts, -1)[..., None, :])        # (c,2,S,M)
+        d2 = jnp.where(pmask[..., None, :], d2, jnp.inf)
+        return jnp.min(d2, axis=-1)                          # (c,2,S)
+
+    L = u.shape[0]
+    c = max(1, min(32, L))
+    nch = (L + c - 1) // c
+    padn = nch * c - L
+
+    def padc(x):
+        return jnp.pad(x, ((0, padn),) + ((0, 0),) * (x.ndim - 1)) \
+            if padn else x
+
+    d2min = jax.lax.map(one, (padc(q).reshape((nch, c) + q.shape[1:]),
+                              padc(sup).reshape(nch, c, 2),
+                              padc(cnt).reshape(nch, c, 2)))
+    d2min = d2min.reshape((nch * c, 2, S))[:L]
+    nsamp = jnp.maximum(jnp.sum(smask.astype(jnp.float32), -1), 1.0)
+    mean_d2 = jnp.sum(jnp.where(smask, d2min, 0.0), -1) / nsamp  # (L, 2)
+    conf = cnt.astype(jnp.float32) * dsd * dsd \
+        / jnp.maximum(mean_d2, 1e-12)
+    conf = jnp.where(cnt > 0, conf, 0.0)
+    return jnp.min(conf, axis=-1)
+
+
 class PreparedCloud(NamedTuple):
     ds: Cloud                    # downsampled full cloud
     bounding_center: jnp.ndarray # (3,)
@@ -58,6 +120,10 @@ def _prepare_cloud_impl(cloud: Cloud, planes: PlaneSet, dsd,
     ds = voxel_downsample(cloud.points, cloud.mask, dsd, cfg.max_ds_points,
                           normals=cloud.normals)
     box = compute_obb(ds.points, ds.mask)
+    # enclosing-sphere radius (OBB half-diagonal) — see
+    # PladeConfig.line_radius_factor for the deviation rationale vs the
+    # reference's max-extent/2 (plade.cpp:84)
+    sphere_radius = cfg.line_radius_factor * 0.5 * jnp.linalg.norm(box.extents)
 
     # per-plane geometry (plade.cpp:87-122): all planes voxel-downsampled in
     # one sorted pass, OBBs batched
@@ -81,11 +147,12 @@ def _prepare_cloud_impl(cloud: Cloud, planes: PlaneSet, dsd,
     direction, point, lvalid = intersect_planes(coeffs[ii], coeffs[jj],
                                                 cfg.plane_pair_max_cos)
     lvalid &= tri & planes.mask[ii] & planes.mask[jj]
-    # reject lines far from the bounding center (plade.cpp:137-142)
+    # reject lines far from the bounding center (plade.cpp:137-142; radius
+    # relaxed to the enclosing sphere, see line_radius_factor)
     w = point - box.center
     along = jnp.sum(w * direction, axis=-1)
     dist = jnp.sqrt(jnp.maximum(jnp.sum(w * w, -1) - along * along, 0.0))
-    lvalid &= dist <= box.radius
+    lvalid &= dist <= sphere_radius
 
     flat = lvalid.reshape(-1)
     total = P * P
@@ -100,8 +167,25 @@ def _prepare_cloud_impl(cloud: Cloud, planes: PlaneSet, dsd,
         support=jnp.where(ok[:, None], jnp.stack([li, lj], -1), 0).astype(jnp.int32),
         count=jnp.sum(flat.astype(jnp.int32)).clip(max=cfg.max_lines),
     )
+    if cfg.min_line_confidence > 0.0:
+        # line-confidence cull (plade.cpp:144-162; the reference computes
+        # this but ships with the threshold commented out — see
+        # PladeConfig.min_line_confidence)
+        conf = _line_confidence(lines, geom, dsd, cfg)
+        keep2 = lines.mask & (conf >= cfg.min_line_confidence)
+        L = cfg.max_lines
+        idx2 = jnp.nonzero(keep2, size=L, fill_value=L)[0]
+        ok2 = idx2 < L
+        safe2 = jnp.minimum(idx2, L - 1)
+        lines = LineSet(
+            direction=jnp.where(ok2[:, None], lines.direction[safe2], 0.0),
+            point=jnp.where(ok2[:, None], lines.point[safe2], BIG),
+            support=jnp.where(ok2[:, None], lines.support[safe2],
+                              0).astype(jnp.int32),
+            count=jnp.sum(keep2.astype(jnp.int32)),
+        )
     return PreparedCloud(ds=ds, bounding_center=box.center,
-                         bounding_radius=box.radius, planes=planes,
+                         bounding_radius=sphere_radius, planes=planes,
                          geom=geom, lines=lines)
 
 

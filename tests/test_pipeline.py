@@ -84,11 +84,21 @@ def test_register_clouds_explicit_min_support(rng):
 
 def test_register_small_overlap(rng):
     """The headline PLADE scenario: two partial scans sharing only part of
-    the scene (paper title: registration with SMALL overlap)."""
+    the scene (paper title: registration with SMALL overlap).
+
+    The scene is an *open* scan — floor + two walls + tilted interior
+    planes — not a closed box: a closed symmetric box admits 180-degree
+    poses that explain the data almost as well as the truth (5 consistent
+    planes, overlap > 1.0 measured), which is the C++ reference's own
+    documented failure mode (BASELINE.md: 3/10 polyhedron runs lock a
+    symmetric wrong pose) and not a property any registration pipeline can
+    resolve from geometry alone.  Real terrestrial scans never see every
+    face of a room."""
     from plade_tpu.io.synthetic import make_room, random_rigid, transform_cloud
     from plade_tpu.pipeline import register_clouds
     pts, nrm, _ = make_room(rng, n_per_plane=2000, noise=0.002,
-                            extra_planes=3)
+                            extra_planes=6,
+                            faces=("floor", "wall_y-", "wall_x+"))
     # split along x with an overlap band: each side keeps ~65% of the scene
     lo, hi = np.quantile(pts[:, 0], [0.35, 0.65])
     tgt_sel = pts[:, 0] <= hi
@@ -103,6 +113,67 @@ def test_register_small_overlap(rng):
     rot_err = np.degrees(np.arccos(np.clip(c, -1, 1)))
     assert rot_err < 3.0, (rot_err, info)
     assert np.linalg.norm(T[:3, 3] - t) < 0.15, info
+
+
+def test_line_confidence_gate(rng):
+    """min_line_confidence culls the spurious virtual line of two planes
+    whose supports are far apart, and keeps real near-support lines
+    (plade.cpp:144-162; the reference computes this confidence but ships
+    with the cull commented out, so the default 0.0 keeps every line)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from plade_tpu.core.types import pad_cloud
+    from plade_tpu.extract import ransac
+    from plade_tpu.io.synthetic import make_plane_points
+    from plade_tpu.knn.bruteforce import average_spacing
+    from plade_tpu.pipeline import (_line_confidence, _pad_size,
+                                    prepare_cloud)
+
+    # floor + wall share an edge (high confidence); a small tilted plane
+    # well above the floor makes a floor-intersection line ~1 unit from
+    # its own support (low confidence)
+    p1, n1 = make_plane_points(rng, (0, 0, 0), (1, 0, 0), (0, 1, 0),
+                               2.0, 2.0, 3000, noise=0.002)
+    p2, n2 = make_plane_points(rng, (-2, 0, 1), (0, 1, 0), (0, 0, 1),
+                               2.0, 1.0, 3000, noise=0.002)
+    tilt = np.radians(35.0)
+    u3 = (np.cos(tilt), 0, np.sin(tilt))
+    p3, n3 = make_plane_points(rng, (0.2, 1.2, 1.0), u3, (0, 1, 0),
+                               0.7, 0.7, 1500, noise=0.002)
+    pts = np.concatenate([p1, p2, p3])
+    nrm = np.concatenate([n1, n2, n3])
+
+    cfg = SMALL_CFG
+    pad = _pad_size(pts.shape[0])
+    cloud = pad_cloud(pts, nrm, pad)
+    planes = ransac.auto_extract(cloud.points, cloud.normals, cloud.count,
+                                 jax.random.PRNGKey(0), cfg, pad)
+    assert int(planes.count) == 3
+    sp = float(average_spacing(cloud.points, cloud.mask, cfg.spacing_k,
+                               cfg.spacing_samples))
+    dsd = jnp.float32(cfg.downsample_factor * sp)
+    prep = prepare_cloud(cloud, planes, dsd, cfg)
+    n_lines = int(prep.lines.count)
+    assert n_lines == 3          # all three plane pairs intersect
+    conf = np.asarray(_line_confidence(prep.lines, prep.geom, dsd, cfg))
+    sup = np.asarray(prep.lines.support)[:n_lines]
+    # the small tilted plane (fewest support points): every line through
+    # it lies ~1+ unit from its support (virtual intersections), while the
+    # floor-wall edge line touches both supports
+    tilted = int(np.argmin(np.asarray(planes.sizes)[:3]))
+    is_far = np.array([tilted in (a, b) for a, b in sup])
+    assert is_far.sum() == 2
+    far_confs = conf[:n_lines][is_far]
+    good_conf = conf[:n_lines][~is_far][0]
+    assert far_confs.max() < good_conf / 4, (conf, sup)
+
+    thresh = float(np.sqrt(far_confs.max() * good_conf))
+    gated = dataclasses.replace(cfg, min_line_confidence=thresh)
+    prep2 = prepare_cloud(cloud, planes, dsd, gated)
+    assert int(prep2.lines.count) == 1
+    sup2 = np.asarray(prep2.lines.support)[:1]
+    assert tilted not in sup2[0]
 
 
 def test_register_with_planes_overload(rng):
