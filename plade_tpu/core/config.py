@@ -67,8 +67,9 @@ class PladeConfig:
     max_planes: int = 40
     #: candidate planes drawn per greedy round (TPU batched RANSAC; the
     #: reference draws 200/round lazily — RansacShapeDetector.cpp:89-191.
-    #: Full scoring is cheap on TPU so we draw more and score exactly.)
-    ransac_candidates_per_round: int = 256
+    #: Subset scoring is one matmul, so a wide draw batch costs little and
+    #: the overlook-probability draw budget is met in few rounds.)
+    ransac_candidates_per_round: int = 1024
     #: locality-stratified sampling pyramid depth for 3-point draws (the
     #: reference samples octree cells at an adaptively weighted level,
     #: RansacShapeDetector.cpp:89-191; level l cell radius = extent/2^(l+1))
@@ -77,11 +78,30 @@ class PladeConfig:
     #: candidate tournament keeps all candidates; the pool is rescored
     #: exactly every round so stale scores cannot win)
     ransac_pool: int = 32
-    #: newly drawn candidates are scored on every ``ransac_score_subset``-th
-    #: point (estimate scaled back up) — the reference's subset scoring
-    #: (Candidate::ImproveBounds on stratified octrees); pool candidates
-    #: and the accepted plane are always scored/trimmed on ALL points
+    #: candidates and pool entries are scored on every
+    #: ``ransac_score_subset``-th point (estimate scaled back up) — the
+    #: reference's subset scoring (Candidate::ImproveBounds on stratified
+    #: octrees); acceptance acts only on the exact-lane full rescores
     ransac_score_subset: int = 4
+    #: 3-point companion draws come from every ``ransac_draw_subset``-th
+    #: point (the (N_draw x S/2) anchor-distance block is the widest
+    #: per-round array; a draw subset only thins the companion-sampling
+    #: population, which stays unbiased)
+    ransac_draw_subset: int = 8
+    #: pool entries exactly rescored on ALL points per round (one (N, A)
+    #: matmul); acceptance and the multi-accept greedy act on these.
+    #: Per-lane work (masks, trim) is the round's marginal cost; 4 lanes
+    #: measured within a round of 8 on the sample pair at 70% of the time
+    ransac_exact_lanes: int = 4
+    #: two exact lanes conflict (only the larger is accepted this round)
+    #: when they share more than this fraction of the smaller inlier set
+    ransac_conflict_frac: float = 0.3
+    #: CC-trim bitmap occupancy/component sizes accumulate from every
+    #: ``ransac_trim_subset``-th point (the scatter-adds are the trim's
+    #: hot ops); each point's membership stays exact via its cell label.
+    #: 1 = exact: near-min-support planes often have ~1 point per bitmap
+    #: cell, where subset occupancy shatters the component
+    ransac_trim_subset: int = 1
     #: hard cap on greedy rounds (safety net; the overlook-probability
     #: termination normally fires long before)
     ransac_max_rounds: int = 512

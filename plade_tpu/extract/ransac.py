@@ -18,38 +18,55 @@ is a small dense matmul, so the design becomes:
        that level's cell radius of an anchor, init the plane from the cross
        product (Plane::Init, Plane.cpp:29-38), and verify all three sample
        normals against it (FlatNormalThreshPointCompatibilityFunc)
-    2. score new candidates + the persistent candidate pool exactly against
-       all points on the MXU (inlier: dist < eps and |n.n_hat| >
-       normal_thresh and unassigned — ScoreComputer.h:10-43); merge the top
-       ``ransac_pool`` by inlier count back into the pool (the reference's
-       lazy candidate tournament, rescored exactly every round so removed
-       points cannot leave stale winners)
-    3. accept the pool's best only once its overlook failure probability
+    2. score new candidates AND the persistent candidate pool on a strided
+       point subset (the reference's subset scoring: Candidate::
+       ImproveBounds on stratified octrees), scaled back to full-cloud
+       estimates; merge the top ``ransac_pool`` by estimate into the pool
+       (the reference's lazy candidate tournament)
+    3. exactly rescore the pool's top ``ransac_exact_lanes`` estimates
+       against ALL points in one (N x A) pass (inlier: dist < eps and
+       |n.n_hat| > normal_thresh and unassigned — ScoreComputer.h:10-43).
+       Acceptance acts on these same-round exact counts, never on
+       estimates: a lane is eligible once its overlook failure probability
        (1 - p_hit)^drawn falls below ``ransac_overlook_prob``
        (CandidateFailureProbability, RansacShapeDetector.h:62-68), where
-       ``drawn`` accumulates valid generated candidates across rounds and
-       decays by (1 - k/N_free)^3 on each acceptance
-       (RansacShapeDetector.cpp:674-676).  The reference estimates
-       p_hit = k/(N * levels * 4) for pure 3-point octree draws; the
-       seed-normal half here recovers a k-inlier plane with probability
-       ~ k/(2 N_free) per draw, so p_hit = k/(4 N_free) (factor 2 slack
-       for normal quality) — fewer draws for the same confidence
-    4. refit the accepted candidate <=3 times on its 3*eps band, keeping a
-       refit only while the Gaussian-weighted global score improves
-       (weigh(d, eps) = exp(-9 d^2 / (2 eps^2)), ScoreComputer.h:10-16;
-       improvement gate RansacShapeDetector.cpp:633-655)
-    5. trim to the largest connected component on a 2-D occupancy bitmap in
+       ``drawn`` accumulates valid generated candidates and decays by
+       (1 - k/N_free)^3 on each acceptance (RansacShapeDetector.cpp:
+       674-676).  The reference estimates p_hit = k/(N * levels * 4) for
+       pure 3-point octree draws; the seed-normal half here recovers a
+       k-inlier plane with probability ~ k/(2 N_free) per draw, so
+       p_hit = k/(4 N_free) (factor 2 slack for normal quality) — fewer
+       draws for the same confidence.  Lanes whose exact count falls below
+       min_support are stale estimates and leave the pool
+    4. MULTI-ACCEPT: all eligible lanes whose exact inlier sets do not
+       conflict (shared inliers <= ``ransac_conflict_frac`` of the smaller
+       set, measured by one (A x A) mask-matmul) are accepted in the same
+       round, in exact-count order — the TPU reshaping of the reference's
+       one-per-iteration greedy loop.  Points claimed by several accepted
+       lanes go to the largest (exclusive assignment); a lane whose
+       exclusive trimmed support then fails min_support is suppressed and
+       banned exactly as a single-accept failure would be
+    5. per accepted lane (vmapped): refit <=3 times on its 3*eps band,
+       keeping a refit only while the Gaussian-weighted global score
+       improves (weigh(d, eps) = exp(-9 d^2 / (2 eps^2)), ScoreComputer.h:
+       10-16; improvement gate RansacShapeDetector.cpp:633-655), then trim
+       to the largest connected component on a 2-D occupancy bitmap in
        plane coordinates with a morphological close, mirroring
        BitmapPrimitiveShape::ConnectedComponent (BitmapPrimitiveShape.cpp:
        97-271): cell size = bitmap_reso * scale, dilate+erode cross, CC by
        iterated 3x3 min-label propagation, keep the component with most
-       points; commit if the trimmed support >= min_support, else suppress
-       the pool entry
+       points.  Bitmap occupancy uses every ``ransac_trim_subset``-th
+       point (membership of ALL points stays exact via their cell labels)
     6. once (1 - min_support/(4 N_free))^drawn < overlook_prob — no plane
        of min_support plausibly remains — halve min_support while fewer
        than min_planes planes exist (the reference auto-tuner's re-run,
        plade.cpp:602-635, capped at ransac_max_trials halvings with
-       ``drawn`` reset per run) or finish
+       ``drawn`` reset per run) or finish.  Lanes debunked at the current
+       support level (exact count below it) turn DORMANT in the pool
+       rather than being re-checked every round; halving wakes them, so a
+       plane already drawn at a higher level is accepted at the lower one
+       without waiting to be re-drawn (the reference's re-run redraws
+       everything from scratch — same semantics, fewer draws)
 
 Deliberate deviation: plane normals are oriented along the mean normal of
 their support points.  The reference intended this (correct_normal,
@@ -122,6 +139,8 @@ class _State(NamedTuple):
     pool_n: jnp.ndarray        # (C, 3) — candidate pool plane normals
     pool_d: jnp.ndarray        # (C,)   — candidate pool plane offsets
     pool_valid: jnp.ndarray    # (C,) bool
+    pool_dormant: jnp.ndarray  # (C,) bool — exact-debunked at this support
+    # level; retained for the next halving instead of being re-drawn
     level_probs: jnp.ndarray   # (L,) f32 — 3-point sampling level weights
     ban_n: jnp.ndarray         # (K, 3) — trim-failed planes (ring buffer)
     ban_d: jnp.ndarray         # (K,)
@@ -129,7 +148,8 @@ class _State(NamedTuple):
     done: jnp.ndarray          # () bool
 
 
-def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
+def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
+                            t_sub: int = 1):
     """Keep the inlier points lying in the largest connected component of
     the occupancy bitmap over in-plane coords ``uv`` (N, 2).
 
@@ -137,7 +157,12 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
     the reference sizes its bitmap exactly to extent/cell
     (BitmapPrimitiveShape.cpp:97-130), typically a few dozen cells per
     side, so a small fixed grid loses nothing on ordinary planes and only
-    coarsens the trim for extreme aspect ratios."""
+    coarsens the trim for extreme aspect ratios.
+
+    ``t_sub``: bitmap occupancy and component sizes are accumulated from
+    every t_sub-th point (the scatter-adds are the trim's hot ops); every
+    point's own membership test stays exact — its cell's component label
+    is a gather."""
     big = jnp.float32(1e30)
     umin = jnp.min(jnp.where(inlier[:, None], uv, big), axis=0)
     umax = jnp.max(jnp.where(inlier[:, None], uv, -big), axis=0)
@@ -146,8 +171,27 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
     ij = jnp.floor((uv - umin) / cell).astype(jnp.int32)
     ij = jnp.clip(ij, 0, grid - 1)
     flat = ij[:, 0] * grid + ij[:, 1]
-    occ_counts = jnp.zeros((grid * grid,), jnp.int32).at[flat].add(
-        inlier.astype(jnp.int32))
+    flat_sub = flat[::t_sub]
+    in_sub = inlier[::t_sub]
+    # occupancy histogram.  On TPU: eq-reduce (compare-against-iota fused
+    # into the sum) — scatter-add is pathologically slow on this runtime
+    # (CLAUDE.md) and the vmapped per-lane trim made the two trim scatters
+    # the extraction loop's dominant cost (measured 1165 -> 699 ms on the
+    # sample cloud).  On CPU (tests, dry-runs) the O(N * cells) eq-reduce
+    # loses to the O(N) scatter, so the branch is per lowering platform.
+    iota = jnp.arange(grid * grid, dtype=jnp.int32)
+
+    def _hist_eq(fs, ins):
+        return jnp.sum(((fs[:, None] == iota[None, :]) & ins[:, None])
+                       .astype(jnp.int32), axis=0)
+
+    def _hist_scatter(fs, ins):
+        return jnp.zeros((grid * grid,), jnp.int32).at[fs].add(
+            ins.astype(jnp.int32))
+
+    occ_counts = jax.lax.platform_dependent(flat_sub, in_sub,
+                                            tpu=_hist_eq,
+                                            default=_hist_scatter)
     occ = (occ_counts > 0).reshape(grid, grid)
 
     def close(bitmap):
@@ -184,11 +228,15 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int):
         return jnp.minimum(m, jumped.reshape(grid, grid))
 
     labels = jax.lax.fori_loop(0, cc_iters, prop, labels)
-    # component size in points: scatter point counts by their cell's label
-    point_labels = labels.reshape(-1)[flat]
-    comp_counts = jnp.zeros((grid * grid + 1,), jnp.int32).at[point_labels].add(
-        inlier.astype(jnp.int32))
-    best_label = jnp.argmax(comp_counts[:-1])
+    # component sizes: per-cell occupancy (already histogrammed) summed by
+    # the cell's component label — a (cells x cells) eq-reduce, never a
+    # per-point pass
+    flat_labels = labels.reshape(-1)
+    comp_counts = jnp.sum(
+        jnp.where(flat_labels[:, None] == iota[None, :],
+                  occ_counts[:, None], 0), axis=0)
+    best_label = iota[jnp.argmax(comp_counts)]
+    point_labels = flat_labels[flat]
     return inlier & (point_labels == best_label)
 
 
@@ -209,6 +257,10 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
     hi = jax.lax.Precision.HIGHEST
 
     R_SUB = max(1, cfg.ransac_score_subset)
+    T_SUB = max(1, cfg.ransac_trim_subset)
+    D_SUB = max(R_SUB, cfg.ransac_draw_subset)
+    A = min(cfg.ransac_exact_lanes, C)
+    CONFLICT_FRAC = cfg.ransac_conflict_frac
 
     def round_body(state: _State, points, normals, valid, eps, bitmap_eps,
                    extent, floor_support, min_planes, max_trials):
@@ -242,26 +294,32 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
 
         # 3-point draws from an adaptively-weighted locality level
         # (RansacShapeDetector::DrawSamplesStratified + GenerateCandidates);
-        # companion points come from the scoring subset — an unbiased draw
+        # companion points come from the draw subset — an unbiased draw
+        # (coarser than the scoring subset: the (N_draw x S_cell) anchor-
+        # distance block is the widest per-round array)
+        pts_draw = points[::D_SUB]
+        nrm_draw = normals[::D_SUB]
+        free_draw = free[::D_SUB]
+        n_draw = pts_draw.shape[0]
         ap = anchor_p[S_seed:]                                  # (S_cell, 3)
         an = anchor_n[S_seed:]
         lvl = jax.random.categorical(
             k_lvl, jnp.log(jnp.maximum(state.level_probs, 1e-9)),
             shape=(S_cell,))
         radius = extent * (0.87 / (2.0 ** (lvl.astype(jnp.float32) + 1.0)))
-        # (N_sub, S_cell) anchor distances: the cross term rides the MXU
-        d2a = (jnp.sum(pts_sub * pts_sub, -1)[:, None]
-               - 2.0 * jnp.dot(pts_sub, ap.T, precision=hi)
+        # (N_draw, S_cell) anchor distances: the cross term rides the MXU
+        d2a = (jnp.sum(pts_draw * pts_draw, -1)[:, None]
+               - 2.0 * jnp.dot(pts_draw, ap.T, precision=hi)
                + jnp.sum(ap * ap, -1)[None, :])
-        within = (d2a <= (radius * radius)[None, :]) & free_sub[:, None]
+        within = (d2a <= (radius * radius)[None, :]) & free_draw[:, None]
         # two independent uniform picks per cell via shared gumbel noise
         # (degenerate coincidences collapse the cross product and are
         # rejected below)
-        g2 = jax.random.uniform(k_g2, (n_sub,))
-        g3 = jax.random.uniform(k_g3, (n_sub,))
+        g2 = jax.random.uniform(k_g2, (n_draw,))
+        g3 = jax.random.uniform(k_g3, (n_draw,))
         pick2 = jnp.argmax(jnp.where(within, g2[:, None], -1.0), axis=0)
         pick3 = jnp.argmax(jnp.where(within, g3[:, None], -1.0), axis=0)
-        p2, p3 = pts_sub[pick2], pts_sub[pick3]
+        p2, p3 = pts_draw[pick2], pts_draw[pick3]
         cross = jnp.cross(p2 - ap, p3 - ap)
         cnorm = jnp.linalg.norm(cross, axis=-1)
         cn = cross / jnp.maximum(cnorm, _EPS)[:, None]
@@ -269,8 +327,8 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         # FlatNormalThreshPointCompatibilityFunc check on the samples)
         thr = cfg.ransac_normal_thresh
         nok = (jnp.abs(jnp.sum(cn * an, -1)) > thr) \
-            & (jnp.abs(jnp.sum(cn * _normalize(nrm_sub[pick2]), -1)) > thr) \
-            & (jnp.abs(jnp.sum(cn * _normalize(nrm_sub[pick3]), -1)) > thr)
+            & (jnp.abs(jnp.sum(cn * _normalize(nrm_draw[pick2]), -1)) > thr) \
+            & (jnp.abs(jnp.sum(cn * _normalize(nrm_draw[pick3]), -1)) > thr)
         enough = jnp.sum(within.astype(jnp.int32), axis=0) >= 3
         cell_ok = anchor_free[S_seed:] & enough & nok & (cnorm > 1e-10)
         cell_d = -jnp.sum(cn * ap, axis=-1)
@@ -293,29 +351,35 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                 jnp.minimum(state.ban_count, state.ban_n.shape[0])
             return jnp.any(near & live[None, :], axis=1)
 
-        cand_ok &= ~banned_mask(cand_n, cand_d)
+        cand_drawn = cand_ok            # pre-ban: feeds the drawn counter
+        cand_ok = cand_ok & ~banned_mask(cand_n, cand_d)
 
-        # ---- scoring (MXU; full f32 — eps sits near bf16 noise of O(1)
-        # coordinates).  New candidates score on the subset (estimate
-        # scaled by R_SUB); pool candidates score exactly on all points,
-        # so acceptance and the greedy argmax never act on estimates that
-        # survived a round.
+        # ---- subset scoring (MXU; full f32 — eps sits near bf16 noise of
+        # O(1) coordinates).  Fresh candidates AND pool entries score on
+        # the strided subset; acceptance never acts on these estimates —
+        # the top-A lanes below are rescored exactly in the same round.
         def inlier_counts(pts, nrms, fr, nmat, dvec):
             dd = jnp.abs(jnp.dot(pts, nmat.T, precision=hi) + dvec[None, :])
             nd = jnp.abs(jnp.dot(nrms, nmat.T, precision=hi))
             ok = (dd < eps) & (nd > thr) & fr[:, None]
             return jnp.sum(ok.astype(jnp.int32), axis=0)
 
-        counts_new = inlier_counts(pts_sub, nrm_sub, free_sub,
-                                   cand_n, cand_d) * R_SUB
-        counts_pool = inlier_counts(points, normals, free,
-                                    state.pool_n, state.pool_d)
         all_n = jnp.concatenate([cand_n, state.pool_n], axis=0)  # (S+C, 3)
         all_d = jnp.concatenate([cand_d, state.pool_d], axis=0)
         all_ok = jnp.concatenate([cand_ok, state.pool_valid], axis=0)
-        all_ok &= ~banned_mask(all_n, all_d)   # clear lingering pool copies
-        counts = jnp.where(all_ok,
-                           jnp.concatenate([counts_new, counts_pool]), 0)
+        all_dormant = jnp.concatenate(
+            [jnp.zeros((S,), jnp.bool_), state.pool_dormant])
+        # bans clear lingering live pool copies too — but never a dormant
+        # entry: debunked lanes are banned from RE-DRAWING, while their
+        # dormant pool original must survive for the next halving.  NB the
+        # ``drawn`` counter uses the PRE-ban cand_ok: a draw landing on a
+        # known-too-small plane is still a draw — it is evidence toward
+        # the overlook bound (without it the counter starves on scenes
+        # where every surface has already been debunked at this level)
+        all_ok &= ~banned_mask(all_n, all_d) | all_dormant
+        counts = jnp.where(
+            all_ok, inlier_counts(pts_sub, nrm_sub, free_sub,
+                                  all_n, all_d) * R_SUB, 0)
 
         # ---- sampling-level reweighting (UpdateLevelWeights, factor .5) -
         contrib = jnp.where(cell_ok, counts[S_seed:S].astype(jnp.float32),
@@ -330,142 +394,197 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                            jnp.full((L,), 1.0 / L))
         new_level_probs = 0.5 * probs + 0.5 * normed
 
-        # ---- pool merge: keep the top C by inlier count.  Pool entries
-        # win ties against fresh duplicates of themselves (top_k breaks
-        # ties by index, which would otherwise evict every exactly-scored
-        # entry in favor of its this-round subset estimate, so acceptance
-        # could never see an exact entry) -------------------------------
-        is_pool = jnp.concatenate([jnp.zeros(S, jnp.int32),
-                                   jnp.ones(C, jnp.int32)])
-        merge_key = counts * 2 + is_pool
-        _, top_idx = jax.lax.top_k(merge_key, C)
+        # ---- pool merge: keep the top C by estimate; dormancy rides along
+        _, top_idx = jax.lax.top_k(counts, C)
         top_counts = counts[top_idx]
         pool_n = all_n[top_idx]
         pool_d = all_d[top_idx]
         pool_valid = all_ok[top_idx] & (top_counts > 0)
+        pool_dormant = all_dormant[top_idx]
 
-        drawn = state.drawn + jnp.sum(cand_ok.astype(jnp.float32))
+        drawn = state.drawn + jnp.sum(cand_drawn.astype(jnp.float32))
 
-        # ---- overlook-probability acceptance gate -----------------------
-        # P_fail(k) = (1 - k/(4 N_free))^drawn  in log space; see module
+        # P_fail(k) = (1 - k/(4 N_free))^dr in log space; see module
         # docstring for the p_hit derivation vs the reference's
         # k/(N * levels * 4) (CandidateFailureProbability)
-        def log_pfail(k_f):
+        def log_pfail(k_f, dr):
             p = jnp.clip(k_f / (4.0 * free_f), 0.0, 0.999999)
-            return drawn * jnp.log1p(-p)
+            return dr * jnp.log1p(-p)
 
-        # acceptance only ever fires on exactly-scored entries: candidates
-        # entering the pool this round carry subset estimates and must
-        # survive one exact rescore first (top_idx >= S marks pool origin)
-        exact_entry = top_idx >= S
-        best = jnp.argmax(jnp.where(pool_valid & exact_entry, top_counts, -1))
-        best_count = top_counts[best]
-        confident = log_pfail(best_count.astype(jnp.float32)) <= log_overlook
-        try_accept = confident & pool_valid[best] & exact_entry[best] \
-            & (best_count >= min_support) \
-            & (state.num_planes < max_extract)
+        # ---- exact lanes: rescore the pool's top-A live estimates on ALL
+        # points in one (N, A) pass — acceptance acts on these, same round
+        lane_key = jnp.where(pool_valid & ~pool_dormant, top_counts, -1)
+        lane_est, lane_sel = jax.lax.top_k(lane_key, A)
+        lane_n = pool_n[lane_sel]                                # (A, 3)
+        lane_d = pool_d[lane_sel]
+        lane_live = (lane_est > 0)
+        dd_l = jnp.abs(jnp.dot(points, lane_n.T, precision=hi)
+                       + lane_d[None, :])
+        nd_l = jnp.abs(jnp.dot(normals, lane_n.T, precision=hi))
+        Mmask = (dd_l < eps) & (nd_l > thr) & free[:, None]      # (N, A)
+        exact = jnp.where(lane_live,
+                          jnp.sum(Mmask.astype(jnp.int32), axis=0), 0)
 
-        # ---- refit (Gaussian-weighted improvement gate) + CC trim ------
-        n0 = pool_n[best]
-        d0 = pool_d[best]
+        # priority = exact count descending
+        lane_order = jnp.argsort(-exact)
+        lane_n = lane_n[lane_order]
+        lane_d = lane_d[lane_order]
+        lane_sel = lane_sel[lane_order]
+        lane_live = lane_live[lane_order]
+        exact = exact[lane_order]
+        Mmask = Mmask[:, lane_order]
 
-        def wscore(n_, d_):
+        eligible = lane_live & (exact >= min_support) \
+            & (log_pfail(exact.astype(jnp.float32), drawn) <= log_overlook)
+
+        # ---- multi-accept: greedy selection of non-conflicting lanes ----
+        # conflict = shared exact inliers > frac * the smaller support
+        # (one (A, A) mask-matmul); A is small and static, so the greedy
+        # pass unrolls
+        Mf = Mmask.astype(jnp.float32)
+        shared = jnp.dot(Mf.T, Mf, precision=hi)                 # (A, A)
+        smaller = jnp.minimum(exact[:, None], exact[None, :])
+        conflict = shared > CONFLICT_FRAC * jnp.maximum(
+            smaller.astype(jnp.float32), 1.0)
+        conflict &= ~jnp.eye(A, dtype=bool)
+        sel_lane = jnp.zeros((A,), jnp.bool_)
+        for a in range(A):
+            clash = jnp.any(sel_lane & conflict[a])
+            sel_lane = sel_lane.at[a].set(eligible[a] & ~clash)
+
+        # ---- refit selected lanes (vmapped Gaussian-gated LS) ----------
+        def wscore_l(n_, d_):
             # GlobalWeightedScore on the 3*eps band: Gaussian weight with
             # sigma = band/3 (weigh(), ScoreComputer.h:10-16)
-            dd = jnp.abs(points @ n_ + d_)
-            nd = jnp.abs(jnp.sum(normals * n_, axis=-1))
-            comp = (dd < 3.0 * eps) & (nd > thr) & free
+            dd = jnp.abs(jnp.dot(points, n_.T, precision=hi) + d_[None, :])
+            nd = jnp.abs(jnp.dot(normals, n_.T, precision=hi))
+            comp = (dd < 3.0 * eps) & (nd > thr) & free[:, None]
             w = jnp.exp(-dd * dd / ((2.0 / 9.0) * (3.0 * eps) ** 2))
-            return jnp.sum(jnp.where(comp, w, 0.0))
+            return jnp.sum(jnp.where(comp, w, 0.0), axis=0)
 
         def refit(_, carry):
-            n_, d_, sc_ = carry
-            dd = jnp.abs(points @ n_ + d_)
-            nd = jnp.abs(jnp.sum(normals * n_, axis=-1))
-            band = (dd < 3.0 * eps) & (nd > thr) & free
-            n2, c2 = _fit_plane(points, band.astype(jnp.float32))
-            n2 = jnp.where(jnp.sum(n2 * n_) < 0, -n2, n2)
-            d2 = -jnp.sum(n2 * c2)
-            sc2 = wscore(n2, d2)
+            n_, d_, sc_ = carry                       # (A,3), (A,), (A,)
+            dd = jnp.abs(jnp.dot(points, n_.T, precision=hi) + d_[None, :])
+            nd = jnp.abs(jnp.dot(normals, n_.T, precision=hi))
+            band = (dd < 3.0 * eps) & (nd > thr) & free[:, None]
+            n2, c2 = jax.vmap(lambda w: _fit_plane(points, w), in_axes=1)(
+                band.astype(jnp.float32))
+            n2 = jnp.where(jnp.sum(n2 * n_, -1, keepdims=True) < 0, -n2, n2)
+            d2 = -jnp.sum(n2 * c2, axis=-1)
+            sc2 = wscore_l(n2, d2)
             better = sc2 > sc_
-            return (jnp.where(better, n2, n_), jnp.where(better, d2, d_),
-                    jnp.maximum(sc2, sc_))
+            return (jnp.where(better[:, None], n2, n_),
+                    jnp.where(better, d2, d_), jnp.maximum(sc2, sc_))
 
-        n, d, _ = jax.lax.fori_loop(0, cfg.ransac_refit_rounds, refit,
-                                    (n0, d0, wscore(n0, d0)))
-        dist_f = jnp.abs(points @ n + d)
-        ndot_f = jnp.abs(jnp.sum(normals * n, axis=-1))
-        inlier = (dist_f < 3.0 * eps) & (ndot_f > thr) & free
+        ln, ld, _ = jax.lax.fori_loop(
+            0, cfg.ransac_refit_rounds, refit,
+            (lane_n, lane_d, wscore_l(lane_n, lane_d)))
+        dd_f = jnp.abs(jnp.dot(points, ln.T, precision=hi) + ld[None, :])
+        nd_f = jnp.abs(jnp.dot(normals, ln.T, precision=hi))
+        inl = (dd_f < 3.0 * eps) & (nd_f > thr) & free[:, None]  # (N, A)
 
-        # largest-connected-component trim in plane coordinates
-        u, v = _plane_basis(n)
-        uv = jnp.stack([points @ u, points @ v], axis=-1)
-        kept = _largest_component_mask(uv, inlier, bitmap_eps, grid, cc_iters)
-        support = jnp.sum(kept.astype(jnp.int32))
-        accept = try_accept & (support >= min_support)
-        # a confident candidate whose trimmed support fails the threshold is
-        # suppressed AND banned, so neither its pool copy nor freshly drawn
-        # duplicates can retry it at this support level
-        trim_fail = try_accept & ~accept
-        pool_valid = jnp.where(trim_fail,
-                               pool_valid.at[best].set(False), pool_valid)
+        # largest-connected-component trim per lane
+        uvec, vvec = jax.vmap(_plane_basis)(ln)
+        uv = jnp.stack([jnp.dot(points, uvec.T, precision=hi),
+                        jnp.dot(points, vvec.T, precision=hi)], axis=-1)
+        kept = jax.vmap(
+            lambda uv_a, in_a: _largest_component_mask(
+                uv_a, in_a, bitmap_eps, grid, cc_iters, T_SUB),
+            in_axes=1, out_axes=1)(uv, inl)                      # (N, A)
+
+        # exclusive assignment: a point claimed by several selected lanes
+        # goes to the highest-priority (largest) one — the greedy removal
+        # order of the reference's one-at-a-time loop
+        keep_sel = kept & sel_lane[None, :]
+        first = jnp.argmax(keep_sel, axis=1)                     # (N,)
+        excl = keep_sel & (jnp.arange(A)[None, :] == first[:, None])
+        excl_support = jnp.sum(excl.astype(jnp.int32), axis=0)   # (A,)
+
+        ok_support = sel_lane & (excl_support >= min_support)
+        rank = jnp.cumsum(ok_support.astype(jnp.int32)) - ok_support
+        room = max_extract - state.num_planes
+        accept_lane = ok_support & (rank < room)
+        n_acc = jnp.sum(accept_lane.astype(jnp.int32))
+
+        # lanes that failed their exclusive trimmed support AND lanes whose
+        # exact count fell below min_support (debunked estimates) are
+        # banned, so freshly drawn duplicates cannot burn lanes retrying
+        # them at this support level (exact counts only ever decrease, so
+        # the ban is sound; it clears on halving)
+        trim_fail = sel_lane & ~ok_support
+        debunked = lane_live & (exact < min_support)
+        to_ban = trim_fail | debunked
         K_ban = state.ban_n.shape[0]
-        cursor = jnp.mod(state.ban_count, K_ban)
-        ban_n = jnp.where(trim_fail,
-                          state.ban_n.at[cursor].set(pool_n[best]),
-                          state.ban_n)
-        ban_d = jnp.where(trim_fail,
-                          state.ban_d.at[cursor].set(pool_d[best]),
-                          state.ban_d)
-        ban_count = jnp.where(trim_fail, state.ban_count + 1,
-                              state.ban_count)
+        tf_rank = jnp.cumsum(to_ban.astype(jnp.int32)) - to_ban
+        ban_idx = jnp.where(to_ban,
+                            jnp.mod(state.ban_count + tf_rank, K_ban), K_ban)
+        ban_n = state.ban_n.at[ban_idx].set(lane_n, mode="drop")
+        ban_d = state.ban_d.at[ban_idx].set(lane_d, mode="drop")
+        ban_count = state.ban_count + jnp.sum(to_ban.astype(jnp.int32))
 
-        # orient normal along mean support-point normal (intended
+        # orient normals along the mean support-point normal (intended
         # correct_normal semantics; see module docstring)
-        mean_n = jnp.sum(jnp.where(kept[:, None], normals, 0.0), axis=0)
-        flip = jnp.sum(mean_n * n) < 0
-        n_o = jnp.where(flip, -n, n)
-        d_o = jnp.where(flip, -d, d)
+        mean_n = jnp.einsum("na,ni->ai", excl.astype(jnp.float32), normals,
+                            precision=hi)
+        flip = jnp.sum(mean_n * ln, axis=-1) < 0
+        ln_o = jnp.where(flip[:, None], -ln, ln)
+        ld_o = jnp.where(flip, -ld, ld)
 
-        pid = state.num_planes
-        new_assigned = jnp.where(accept, state.assigned | kept, state.assigned)
-        new_point_plane = jnp.where(accept & kept, pid, state.point_plane)
-        new_coeffs = jnp.where(
-            accept,
-            state.coeffs.at[pid].set(jnp.concatenate([n_o, d_o[None]])),
-            state.coeffs)
-        new_sizes = jnp.where(accept, state.sizes.at[pid].set(support),
-                              state.sizes)
-        num_planes = jnp.where(accept, pid + 1, pid)
-        # the accepted plane's entry must not win again (its points are
-        # gone, but the rescore only happens next round)
-        pool_valid = jnp.where(accept, pool_valid.at[best].set(False),
-                               pool_valid)
-        # drawn decays to reflect point removal (RansacShapeDetector:674)
-        drawn = jnp.where(
-            accept,
-            (1.0 - support.astype(jnp.float32) / free_f) ** 3 * drawn,
-            drawn)
+        # commit all accepted lanes: plane ids in priority order
+        pid = jnp.where(accept_lane, state.num_planes + rank, max_extract)
+        new_coeffs = state.coeffs.at[pid].set(
+            jnp.concatenate([ln_o, ld_o[:, None]], axis=-1), mode="drop")
+        new_sizes = state.sizes.at[pid].set(excl_support, mode="drop")
+        acc_pt = jnp.any(excl & accept_lane[None, :], axis=1)    # (N,)
+        new_assigned = state.assigned | acc_pt
+        new_point_plane = jnp.where(acc_pt, pid[first],
+                                    state.point_plane)
+        num_planes = state.num_planes + n_acc
+
+        # pool bookkeeping: accepted and trim-failed lanes leave the pool;
+        # debunked lanes (estimate ranked them in but exact < min_support)
+        # turn dormant and wait for the next halving; conflict-deferred
+        # and not-yet-confident lanes stay live
+        drop = accept_lane | trim_fail
+        pool_valid = pool_valid.at[lane_sel].set(
+            pool_valid[lane_sel] & ~drop, mode="drop")
+        pool_dormant = pool_dormant.at[lane_sel].set(
+            pool_dormant[lane_sel] | debunked, mode="drop")
+
+        # drawn decays per acceptance to reflect point removal
+        # (RansacShapeDetector:674)
+        dec = jnp.where(
+            accept_lane,
+            (1.0 - excl_support.astype(jnp.float32) / free_f) ** 3, 1.0)
+        drawn = drawn * jnp.prod(dec)
 
         # ---- overlook-probability termination / auto-tune halving ------
         # exhausted: even a plane of exactly min_support would have been
         # found by now w.p. 1 - overlook_prob.  The claim is contradicted
-        # while the pool holds an exactly-scored viable candidate; and
-        # because acceptance lags candidate generation by one round (subset
-        # estimates must be rescored exactly), the condition must hold two
-        # consecutive rounds before it fires — a fresh >= min_support draw
-        # always breaks the streak on its exact rescore.  The residual
-        # probability of terminating past an undrawn plane is exactly the
-        # configured overlook bound.
-        pending = jnp.any(pool_valid & exact_entry
-                          & (top_counts >= min_support))
+        # while a live >= min_support candidate exists: an exactly-checked
+        # lane deferred by a conflict, or a live pool estimate that lane
+        # capacity hasn't exactly checked yet (each such entry is checked
+        # within a few rounds — checked lanes always leave the live set
+        # one way or another, so this cannot livelock).  The streak of two
+        # keeps the single-round race (fresh draw entering the pool as the
+        # bound fires) from terminating past it.
+        pending_lane = jnp.any(eligible & ~accept_lane & ~trim_fail) \
+            | jnp.any(lane_live & (exact >= min_support)
+                      & ~eligible & ~accept_lane & ~trim_fail)
+        in_lanes = jnp.zeros((C,), jnp.bool_).at[lane_sel].set(
+            True, mode="drop")
+        pending_pool = jnp.any(pool_valid & ~pool_dormant & ~in_lanes
+                               & (top_counts >= min_support))
+        pending = pending_lane | pending_pool
         # fewer free points than min_support leaves nothing to find — a
         # certainty, not a probability; without this the drawn counter
         # stalls at 0 (no valid candidates can be generated) and the
         # overlook bound never fires, burning rounds to the hard cap
-        no_room = jnp.sum(free.astype(jnp.int32)) < min_support
-        exh_cond = ((log_pfail(min_support.astype(jnp.float32))
-                     <= log_overlook) | no_room) & ~accept & ~pending
+        n_free_now = jnp.sum(free.astype(jnp.int32)) \
+            - jnp.sum(acc_pt.astype(jnp.int32))
+        no_room = n_free_now < min_support
+        exh_cond = ((log_pfail(min_support.astype(jnp.float32), drawn)
+                     <= log_overlook) | no_room) & (n_acc == 0) & ~pending
         exh_streak = jnp.where(exh_cond, state.exh_streak + 1, 0)
         exhausted = exh_streak >= 2
         need_more = num_planes < min_planes
@@ -473,8 +592,12 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         halve = exhausted & need_more & can_halve
         new_support = jnp.where(
             halve, jnp.maximum(min_support // 2, floor_support), min_support)
-        # each halving mirrors a fresh reference detector run: drawn resets
+        # each halving mirrors a fresh reference detector run: drawn
+        # resets, bans clear, dormant planes wake for re-checking at the
+        # lower support threshold
         drawn = jnp.where(halve, 0.0, drawn)
+        pool_dormant = jnp.where(halve,
+                                 jnp.zeros_like(pool_dormant), pool_dormant)
         rounds = state.rounds + 1
         done = (exhausted & ~(need_more & can_halve)) \
             | (num_planes >= max_extract) \
@@ -494,6 +617,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             pool_n=pool_n,
             pool_d=pool_d,
             pool_valid=pool_valid,
+            pool_dormant=pool_dormant,
             level_probs=new_level_probs,
             ban_n=ban_n,
             ban_d=ban_d,
@@ -543,9 +667,10 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             pool_n=jnp.zeros((C, 3), jnp.float32),
             pool_d=jnp.zeros((C,), jnp.float32),
             pool_valid=jnp.zeros((C,), jnp.bool_),
+            pool_dormant=jnp.zeros((C,), jnp.bool_),
             level_probs=jnp.full((L,), 1.0 / L, jnp.float32),
-            ban_n=jnp.zeros((8, 3), jnp.float32),
-            ban_d=jnp.zeros((8,), jnp.float32),
+            ban_n=jnp.zeros((32, 3), jnp.float32),
+            ban_d=jnp.zeros((32,), jnp.float32),
             ban_count=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
         )

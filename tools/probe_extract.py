@@ -50,12 +50,11 @@ def main():
     pad = _pad_size(tp.shape[0])
     tgt = pad_cloud(tp, tn, pad)
     base = PladeConfig()
-    run(base, "base S=256 pool=32 sub=4", tgt)
+    run(base, "base S=1024 lanes=8 draw=8", tgt)
     for repl in (
-        dict(ransac_candidates_per_round=1024),
-        dict(ransac_candidates_per_round=2048),
-        dict(ransac_candidates_per_round=1024, ransac_pool=64),
-        dict(ransac_candidates_per_round=1024, ransac_score_subset=8),
+        dict(ransac_exact_lanes=4),
+        dict(ransac_exact_lanes=2),
+        dict(ransac_candidates_per_round=512, ransac_exact_lanes=4),
     ):
         cfg = dataclasses.replace(base, **repl)
         run(cfg, ",".join(f"{k.split('_')[-1]}={v}" for k, v in repl.items()),
