@@ -82,7 +82,7 @@ class PladeConfig:
     #: ``ransac_score_subset``-th point (estimate scaled back up) — the
     #: reference's subset scoring (Candidate::ImproveBounds on stratified
     #: octrees); acceptance acts only on the exact-lane full rescores
-    ransac_score_subset: int = 4
+    ransac_score_subset: int = 8
     #: 3-point companion draws come from every ``ransac_draw_subset``-th
     #: point (the (N_draw x S/2) anchor-distance block is the widest
     #: per-round array; a draw subset only thins the companion-sampling
@@ -90,9 +90,10 @@ class PladeConfig:
     ransac_draw_subset: int = 8
     #: pool entries exactly rescored on ALL points per round (one (N, A)
     #: matmul); acceptance and the multi-accept greedy act on these.
-    #: Per-lane work (masks, trim) is the round's marginal cost; 4 lanes
-    #: measured within a round of 8 on the sample pair at 70% of the time
-    ransac_exact_lanes: int = 4
+    #: Per-lane work (masks, trim) is the round's marginal cost; 2 lanes
+    #: measured 36% faster than 4 on the sample pair with identical
+    #: extraction output (acceptance waves are rarely wider than 2)
+    ransac_exact_lanes: int = 2
     #: two exact lanes conflict (only the larger is accepted this round)
     #: when they share more than this fraction of the smaller inlier set
     ransac_conflict_frac: float = 0.3

@@ -109,9 +109,8 @@ def _fit_plane(points, weights):
     c = jnp.sum(points * w[:, None], axis=0)
     d = (points - c) * jnp.sqrt(w)[:, None]
     cov = d.T @ d
-    _, vecs = jnp.linalg.eigh(cov)
-    n = vecs[:, 0]  # smallest eigenvalue -> plane normal
-    return n, c
+    from ..geometry.eig3 import smallest_eigvec3
+    return smallest_eigvec3(cov), c
 
 
 class ExtractStats(NamedTuple):

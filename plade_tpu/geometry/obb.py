@@ -35,7 +35,10 @@ def compute_obb(points: jnp.ndarray, mask: jnp.ndarray) -> OBB:
     c = (points - centroid[..., None, :]) * w[..., None]
     n = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
     cov = jnp.einsum("...ni,...nj->...ij", c, c) / n[..., None, None]
-    _, vecs = jnp.linalg.eigh(cov)  # ascending eigenvalues, like Eigen's
+    # ascending eigenvalues, like Eigen's; closed-form 3x3 (geometry/eig3)
+    # instead of the iterative lax.linalg.eigh
+    from .eig3 import sym_eigh3
+    _, vecs = sym_eigh3(cov)
     # force right-handed frame: col2 = col0 x col1 (util.h:201)
     e0 = vecs[..., :, 0]
     e1 = vecs[..., :, 1]

@@ -27,10 +27,21 @@ import numpy as _np
 _HX = _np.int32(73856093)
 _HY = _np.int32(19349663)
 _HZ = _np.int32(83492791)
+# independent second hash: sorting uses (h1, h2) as the cell key, giving
+# 62 effective bits — collisions (two distinct cells adjacent-interleaved
+# in the sort) are ~1e-11 for 10^5 cells, and even then the coordinate
+# change detection merely splits the voxel, never merges two
+_H2X = _np.int32(302451781)
+_H2Y = _np.int32(160481219)
+_H2Z = _np.int32(28411511)
 
 
 def _cell_hash(ix, iy, iz):
     return (ix * _HX) ^ (iy * _HY) ^ (iz * _HZ)
+
+
+def _cell_hash2(ix, iy, iz):
+    return (ix * _H2X) ^ (iy * _H2Y) ^ (iz * _H2Z)
 
 
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
@@ -46,25 +57,29 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf,
     big = jnp.float32(1e30)
     pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     ijk = jnp.floor((points - pmin) / leaf).astype(jnp.int32)
-    # Sort by (valid, cell hash, cell coords): equal cells stay adjacent;
-    # truncation at max_out keeps a hash-uniform subset of cells; invalid
-    # points get unique sentinel keys sorting after all valid cells.
+    # Sort by the (h1, h2) cell hash pair: equal cells stay adjacent
+    # (collision odds are negligible, see _cell_hash2); truncation at
+    # max_out keeps a hash-uniform subset of cells; invalid points sort
+    # last (h1 pinned to int32-max) with unique h2 so each is its own
+    # segment.  Two sort keys instead of five: the lexsort carries every
+    # key operand through the sort, a prepare-stage hot spot.
     arange = jnp.arange(n, dtype=jnp.int32)
     h = _cell_hash(ijk[:, 0], ijk[:, 1], ijk[:, 2])
-    inval = (~mask).astype(jnp.int32)
-    hkey = jnp.where(mask, h, arange)
+    h2 = _cell_hash2(ijk[:, 0], ijk[:, 1], ijk[:, 2])
+    key1 = jnp.where(mask, h & 0x7FFFFFFF, jnp.int32(0x7FFFFFFF))
+    key2 = jnp.where(mask, h2, arange)
     ix = ijk[:, 0]
     iy = ijk[:, 1]
     iz = ijk[:, 2]
-    order = jnp.lexsort((iz, iy, ix, hkey, inval))
+    order = jnp.lexsort((key2, key1))
     sx, sy, sz = ix[order], iy[order], iz[order]
-    sh = hkey[order]
-    si = inval[order]
+    s1 = key1[order]
+    s2 = key2[order]
     sp = points[order]
     sm = mask[order]
     changed = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
-        (si[1:] != si[:-1]) | (sh[1:] != sh[:-1]) |
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) |
         (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
     ])
     seg = jnp.cumsum(changed.astype(jnp.int32)) - 1  # segment id per point
@@ -112,21 +127,26 @@ def voxel_downsample_by_plane(points: jnp.ndarray, mask: jnp.ndarray,
     arange = jnp.arange(n, dtype=jnp.int32)
     kp = jnp.where(ok, point_plane, num_planes)
     # hash-ordered cells within each plane: per-plane truncation at max_out
-    # drops a uniform subset, not an axis-aligned slab (see module docstring)
+    # drops a uniform subset, not an axis-aligned slab (see module
+    # docstring).  Sort by (plane, h1, h2) — see voxel_downsample on the
+    # two-hash cell key
     h = _cell_hash(ijk[:, 0], ijk[:, 1], ijk[:, 2])
+    h2 = _cell_hash2(ijk[:, 0], ijk[:, 1], ijk[:, 2])
     kh = jnp.where(ok, h, arange)
+    kh2 = jnp.where(ok, h2, arange)
     kx = ijk[:, 0]
     ky = ijk[:, 1]
     kz = ijk[:, 2]
-    order = jnp.lexsort((kz, ky, kx, kh, kp))
+    order = jnp.lexsort((kh2, kh, kp))
     sp_, sm = points[order], ok[order]
     spl = kp[order]
     sh = kh[order]
+    sh2 = kh2[order]
     sx, sy, sz = kx[order], ky[order], kz[order]
     changed = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
-        (spl[1:] != spl[:-1]) | (sh[1:] != sh[:-1]) | (sx[1:] != sx[:-1]) |
-        (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        (spl[1:] != spl[:-1]) | (sh[1:] != sh[:-1]) | (sh2[1:] != sh2[:-1])
+        | (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
     ])
     seg = jnp.cumsum(changed.astype(jnp.int32)) - 1
     nseg = n  # upper bound

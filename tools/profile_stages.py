@@ -37,12 +37,23 @@ def _sync(out):
 
 def timed(label, fn, *a, n=3, vary=None, **k):
     """Time ``fn(*a)``; ``vary`` maps (iteration, args) -> fresh args so the
-    runtime's (executable, inputs) memoizer cannot serve a cached result."""
-    out = _sync(fn(*a, **k))
+    runtime's (executable, inputs) memoizer cannot serve a cached result.
+
+    The timed program is a scalar contraction of ``fn``'s outputs: every
+    output leaf feeds one on-device sum fetched as a single scalar.
+    Fetching the raw pytree instead costs one tunnel round-trip PER LEAF
+    (~25-45 ms each), which used to dominate every stage number here.
+    """
+    out = _sync(fn(*a, **k))  # raw output for downstream stages
+
+    contracted = jax.jit(lambda *args: sum(
+        jnp.sum(leaf) for leaf in jax.tree.leaves(fn(*args, **k))
+        if jnp.issubdtype(leaf.dtype, jnp.number)))
+    float(contracted(*a))
     t0 = time.perf_counter()
     for i in range(n):
         args = vary(i + 1, a) if vary is not None else a
-        out = _sync(fn(*args, **k))
+        float(contracted(*args))
     print(f"{label:<28s} {(time.perf_counter() - t0) / n * 1e3:9.1f} ms",
           flush=True)
     return out
