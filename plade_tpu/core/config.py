@@ -112,9 +112,12 @@ class PladeConfig:
     #: stretched when a plane spans more cells, mirroring the reference's
     #: extent-sized bitmap)
     bitmap_grid: int = 64
-    #: CC label-propagation iterations (with pointer jumping each step
-    #: covers a doubling propagation radius; 16 saturates a 64^2 grid)
-    bitmap_cc_iters: int = 16
+    #: CC label-propagation iterations.  Each iteration is one 3x3 min
+    #: stencil + four pointer jumps (each jump squares the propagation
+    #: distance); 8 saturates a 64^2 grid for blob-like components.  The
+    #: sequential iteration count is the trim's dominant on-device
+    #: latency — raise for pathologically serpentine supports.
+    bitmap_cc_iters: int = 8
 
     # ----- line confidence (plade.cpp:144-162, util.h:389-426) -----
     #: cull lines whose confidence (min over the two supporting planes of

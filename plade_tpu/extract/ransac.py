@@ -170,26 +170,31 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
     ij = jnp.floor((uv - umin) / cell).astype(jnp.int32)
     ij = jnp.clip(ij, 0, grid - 1)
     flat = ij[:, 0] * grid + ij[:, 1]
-    flat_sub = flat[::t_sub]
     in_sub = inlier[::t_sub]
-    # occupancy histogram.  On TPU: eq-reduce (compare-against-iota fused
-    # into the sum) — scatter-add is pathologically slow on this runtime
-    # (CLAUDE.md) and the vmapped per-lane trim made the two trim scatters
-    # the extraction loop's dominant cost (measured 1165 -> 699 ms on the
-    # sample cloud).  On CPU (tests, dry-runs) the O(N * cells) eq-reduce
-    # loses to the O(N) scatter, so the branch is per lowering platform.
+    # occupancy histogram.  On TPU: the 2-D histogram is a SEPARABLE
+    # one-hot matmul — onehot(ix)^T @ onehot(iy) rides the MXU with f32
+    # accumulation (bf16 inputs are exact 0/1, so counts are exact
+    # integers), replacing both the scatter-add (pathologically slow on
+    # this runtime, CLAUDE.md) and the earlier O(N x cells) VPU
+    # eq-reduce.  On CPU (tests, dry-runs) the O(N) scatter wins.
     iota = jnp.arange(grid * grid, dtype=jnp.int32)
+    rr = jnp.arange(grid, dtype=jnp.int32)
 
-    def _hist_eq(fs, ins):
-        return jnp.sum(((fs[:, None] == iota[None, :]) & ins[:, None])
-                       .astype(jnp.int32), axis=0)
+    def _hist_mxu(ij_s, ins):
+        ohr = ((ij_s[:, 0, None] == rr[None, :]) & ins[:, None]) \
+            .astype(jnp.bfloat16)
+        ohc = (ij_s[:, 1, None] == rr[None, :]).astype(jnp.bfloat16)
+        occ2d = jnp.einsum("nr,nc->rc", ohr, ohc,
+                           preferred_element_type=jnp.float32)
+        return occ2d.astype(jnp.int32).reshape(-1)
 
-    def _hist_scatter(fs, ins):
+    def _hist_scatter(ij_s, ins):
+        fs = ij_s[:, 0] * grid + ij_s[:, 1]
         return jnp.zeros((grid * grid,), jnp.int32).at[fs].add(
             ins.astype(jnp.int32))
 
-    occ_counts = jax.lax.platform_dependent(flat_sub, in_sub,
-                                            tpu=_hist_eq,
+    occ_counts = jax.lax.platform_dependent(ij[::t_sub], in_sub,
+                                            tpu=_hist_mxu,
                                             default=_hist_scatter)
     occ = (occ_counts > 0).reshape(grid, grid)
 
@@ -214,17 +219,23 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
     labels = jnp.where(closed, idx, inf_label)
 
     def prop(_, lab):
-        p = jnp.pad(lab, 1, constant_values=inf_label)
-        m = lab
-        for di in (0, 1, 2):
-            for dj in (0, 1, 2):
-                m = jnp.minimum(m, p[di:di + grid, dj:dj + grid])
+        # 8-neighbor min = separable 3x3 box min (rows then cols)
+        p = jnp.pad(lab, ((1, 1), (0, 0)), constant_values=inf_label)
+        m = jnp.minimum(jnp.minimum(p[:-2], p[1:-1]), p[2:])
+        p = jnp.pad(m, ((0, 0), (1, 1)), constant_values=inf_label)
+        m = jnp.minimum(jnp.minimum(p[:, :-2], p[:, 1:-1]), p[:, 2:])
         m = jnp.where(closed, m, inf_label)
-        # pointer jump: follow the current representative one hop
+        # pointer jumps: follow the representative chain — each jump
+        # SQUARES the effective propagation distance, and a (grid^2,)
+        # gather is far cheaper than another stencil iteration (the
+        # sequential iteration count, not per-iteration work, dominates
+        # this loop on-device)
         flat = m.reshape(-1)
-        safe = jnp.minimum(flat, grid * grid - 1)
-        jumped = jnp.where(flat < inf_label, flat[safe], inf_label)
-        return jnp.minimum(m, jumped.reshape(grid, grid))
+        for _ in range(4):
+            safe = jnp.minimum(flat, grid * grid - 1)
+            flat = jnp.minimum(
+                flat, jnp.where(flat < inf_label, flat[safe], inf_label))
+        return flat.reshape(grid, grid)
 
     labels = jax.lax.fori_loop(0, cc_iters, prop, labels)
     # component sizes: per-cell occupancy (already histogrammed) summed by
@@ -260,6 +271,8 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
     D_SUB = max(R_SUB, cfg.ransac_draw_subset)
     A = min(cfg.ransac_exact_lanes, C)
     CONFLICT_FRAC = cfg.ransac_conflict_frac
+    import os as _os
+    _ABLATE = set(_os.environ.get("PLADE_ABLATE", "").split(","))
 
     def round_body(state: _State, points, normals, valid, eps, bitmap_eps,
                    extent, floor_support, min_planes, max_trials):
@@ -302,35 +315,44 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         n_draw = pts_draw.shape[0]
         ap = anchor_p[S_seed:]                                  # (S_cell, 3)
         an = anchor_n[S_seed:]
-        lvl = jax.random.categorical(
-            k_lvl, jnp.log(jnp.maximum(state.level_probs, 1e-9)),
-            shape=(S_cell,))
-        radius = extent * (0.87 / (2.0 ** (lvl.astype(jnp.float32) + 1.0)))
-        # (N_draw, S_cell) anchor distances: the cross term rides the MXU
-        d2a = (jnp.sum(pts_draw * pts_draw, -1)[:, None]
-               - 2.0 * jnp.dot(pts_draw, ap.T, precision=hi)
-               + jnp.sum(ap * ap, -1)[None, :])
-        within = (d2a <= (radius * radius)[None, :]) & free_draw[:, None]
-        # two independent uniform picks per cell via shared gumbel noise
-        # (degenerate coincidences collapse the cross product and are
-        # rejected below)
-        g2 = jax.random.uniform(k_g2, (n_draw,))
-        g3 = jax.random.uniform(k_g3, (n_draw,))
-        pick2 = jnp.argmax(jnp.where(within, g2[:, None], -1.0), axis=0)
-        pick3 = jnp.argmax(jnp.where(within, g3[:, None], -1.0), axis=0)
-        p2, p3 = pts_draw[pick2], pts_draw[pick3]
-        cross = jnp.cross(p2 - ap, p3 - ap)
-        cnorm = jnp.linalg.norm(cross, axis=-1)
-        cn = cross / jnp.maximum(cnorm, _EPS)[:, None]
-        # verify all three sample normals against the plane (the
-        # FlatNormalThreshPointCompatibilityFunc check on the samples)
         thr = cfg.ransac_normal_thresh
-        nok = (jnp.abs(jnp.sum(cn * an, -1)) > thr) \
-            & (jnp.abs(jnp.sum(cn * _normalize(nrm_draw[pick2]), -1)) > thr) \
-            & (jnp.abs(jnp.sum(cn * _normalize(nrm_draw[pick3]), -1)) > thr)
-        enough = jnp.sum(within.astype(jnp.int32), axis=0) >= 3
-        cell_ok = anchor_free[S_seed:] & enough & nok & (cnorm > 1e-10)
-        cell_d = -jnp.sum(cn * ap, axis=-1)
+        if "draw3" in _ABLATE:
+            cn = an
+            cell_d = -jnp.sum(an * ap, axis=-1)
+            cell_ok = jnp.zeros((S_cell,), jnp.bool_)
+            lvl = jnp.zeros((S_cell,), jnp.int32)
+        else:
+            lvl = jax.random.categorical(
+                k_lvl, jnp.log(jnp.maximum(state.level_probs, 1e-9)),
+                shape=(S_cell,))
+            radius = extent * (0.87
+                               / (2.0 ** (lvl.astype(jnp.float32) + 1.0)))
+            # (N_draw, S_cell) anchor distances: cross term on the MXU
+            d2a = (jnp.sum(pts_draw * pts_draw, -1)[:, None]
+                   - 2.0 * jnp.dot(pts_draw, ap.T, precision=hi)
+                   + jnp.sum(ap * ap, -1)[None, :])
+            within = (d2a <= (radius * radius)[None, :]) & free_draw[:, None]
+            # two independent uniform picks per cell via shared gumbel
+            # noise (degenerate coincidences collapse the cross product
+            # and are rejected below)
+            g2 = jax.random.uniform(k_g2, (n_draw,))
+            g3 = jax.random.uniform(k_g3, (n_draw,))
+            pick2 = jnp.argmax(jnp.where(within, g2[:, None], -1.0), axis=0)
+            pick3 = jnp.argmax(jnp.where(within, g3[:, None], -1.0), axis=0)
+            p2, p3 = pts_draw[pick2], pts_draw[pick3]
+            cross = jnp.cross(p2 - ap, p3 - ap)
+            cnorm = jnp.linalg.norm(cross, axis=-1)
+            cn = cross / jnp.maximum(cnorm, _EPS)[:, None]
+            # verify all three sample normals against the plane (the
+            # FlatNormalThreshPointCompatibilityFunc check on the samples)
+            nok = (jnp.abs(jnp.sum(cn * an, -1)) > thr) \
+                & (jnp.abs(jnp.sum(cn * _normalize(nrm_draw[pick2]), -1))
+                   > thr) \
+                & (jnp.abs(jnp.sum(cn * _normalize(nrm_draw[pick3]), -1))
+                   > thr)
+            enough = jnp.sum(within.astype(jnp.int32), axis=0) >= 3
+            cell_ok = anchor_free[S_seed:] & enough & nok & (cnorm > 1e-10)
+            cell_d = -jnp.sum(cn * ap, axis=-1)
 
         cand_n = jnp.concatenate([seed_n, cn], axis=0)          # (S, 3)
         cand_d = jnp.concatenate([seed_d, cell_d], axis=0)
@@ -475,21 +497,28 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             return (jnp.where(better[:, None], n2, n_),
                     jnp.where(better, d2, d_), jnp.maximum(sc2, sc_))
 
-        ln, ld, _ = jax.lax.fori_loop(
-            0, cfg.ransac_refit_rounds, refit,
-            (lane_n, lane_d, wscore_l(lane_n, lane_d)))
+        if "refit" in _ABLATE:
+            ln, ld = lane_n, lane_d
+        else:
+            ln, ld, _ = jax.lax.fori_loop(
+                0, cfg.ransac_refit_rounds, refit,
+                (lane_n, lane_d, wscore_l(lane_n, lane_d)))
         dd_f = jnp.abs(jnp.dot(points, ln.T, precision=hi) + ld[None, :])
         nd_f = jnp.abs(jnp.dot(normals, ln.T, precision=hi))
         inl = (dd_f < 3.0 * eps) & (nd_f > thr) & free[:, None]  # (N, A)
 
         # largest-connected-component trim per lane
-        uvec, vvec = jax.vmap(_plane_basis)(ln)
-        uv = jnp.stack([jnp.dot(points, uvec.T, precision=hi),
-                        jnp.dot(points, vvec.T, precision=hi)], axis=-1)
-        kept = jax.vmap(
-            lambda uv_a, in_a: _largest_component_mask(
-                uv_a, in_a, bitmap_eps, grid, cc_iters, T_SUB),
-            in_axes=1, out_axes=1)(uv, inl)                      # (N, A)
+        if "trim" in _ABLATE:
+            kept = inl
+        else:
+            uvec, vvec = jax.vmap(_plane_basis)(ln)
+            uv = jnp.stack([jnp.dot(points, uvec.T, precision=hi),
+                            jnp.dot(points, vvec.T, precision=hi)], axis=-1)
+            cc_eff = 0 if "cc" in _ABLATE else cc_iters
+            kept = jax.vmap(
+                lambda uv_a, in_a: _largest_component_mask(
+                    uv_a, in_a, bitmap_eps, grid, cc_eff, T_SUB),
+                in_axes=1, out_axes=1)(uv, inl)                  # (N, A)
 
         # exclusive assignment: a point claimed by several selected lanes
         # goes to the highest-priority (largest) one — the greedy removal

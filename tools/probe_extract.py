@@ -52,11 +52,9 @@ def main():
     base = PladeConfig()
     run(base, "base S=1024 lanes=8 draw=8", tgt)
     for repl in (
-        dict(bitmap_grid=32),
-        dict(ransac_trim_subset=2),
-        dict(ransac_exact_lanes=2, ransac_score_subset=8),
-        dict(ransac_exact_lanes=2, ransac_score_subset=8,
-             ransac_candidates_per_round=2048),
+        dict(bitmap_cc_iters=6),
+        dict(ransac_refit_rounds=2),
+        dict(ransac_exact_lanes=4),
     ):
         cfg = dataclasses.replace(base, **repl)
         run(cfg, ",".join(f"{k.split('_')[-1]}={v}" for k, v in repl.items()),
