@@ -39,7 +39,9 @@ def main():
     pad = _pad_size(max(tp.shape[0], sp.shape[0]))
     tgt = pad_cloud(tp, tn, pad)
     src = pad_cloud(sp, sn, pad)
-    fn = register_pair_device(cfg, pad)
+    from plade_tpu.pipeline import build_register_device_fn
+    # stats-returning step: same pipeline + the ExtractStats pair
+    fn_s = jax.jit(build_register_device_fn(cfg, pad, with_stats=True))
 
     def hard_sync(r):
         # jax.block_until_ready can return before the remote execution
@@ -49,7 +51,7 @@ def main():
             np.asarray(r.success).sum())
 
     # warm-up (compile) — key 0 also provides the reported pose
-    res = fn(tgt, src, jax.random.PRNGKey(0))
+    res, stats = fn_s(tgt, src, jax.random.PRNGKey(0))
     hard_sync(res)
 
     # timing keys must be fresh across runs AND processes: the axon
@@ -59,7 +61,7 @@ def main():
     runs = 5
     t0 = time.perf_counter()
     for i in range(runs):
-        r = fn(tgt, src, jax.random.PRNGKey(base + i))
+        r, _ = fn_s(tgt, src, jax.random.PRNGKey(base + i))
         hard_sync(r)
     dt = (time.perf_counter() - t0) / runs
 
@@ -68,14 +70,27 @@ def main():
     rot_err_deg = float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
     trans_err = float(np.linalg.norm(T[:3, 3] - GT[:3, 3]))
 
-    # batched throughput: vmap B pairs through one chip (production batch
-    # mode amortizes the pipeline's serial latencies across pairs)
+    # batched throughput: vmap B DISTINCT pairs through one chip — the
+    # production batch shape (register_array_pairs).  Pair 0 is the
+    # polyhedron sample; pairs 1..B-1 are distinct synthetic scan pairs of
+    # the same padded size, so batch timing includes real shape/straggler
+    # variance instead of hiding it behind one replicated workload
     import jax.numpy as jnp
-    from plade_tpu.pipeline import build_register_device_fn
+    from plade_tpu.io.synthetic import make_scan_sequence
     B = 8
     vfn = jax.jit(jax.vmap(build_register_device_fn(cfg, pad)))
-    tgt_b = jax.tree.map(lambda x: jnp.stack([x] * B), tgt)
-    src_b = jax.tree.map(lambda x: jnp.stack([x] * B), src)
+    tgt_list, src_list = [tgt], [src]
+    for b in range(1, B):
+        srng = np.random.default_rng(1000 + b)
+        scans, _ = make_scan_sequence(
+            srng, n_scans=2, n_points=min(pad, 100000), overlap_radius=3.4,
+            step=2.0, n_rooms=3, n_per_plane=9000, noise=0.02, size=4.0,
+            extra_planes=3, normal_noise_deg=3.0, max_angle=1.0,
+            max_trans=0.6)
+        tgt_list.append(pad_cloud(scans[0][0], scans[0][1], pad))
+        src_list.append(pad_cloud(scans[1][0], scans[1][1], pad))
+    tgt_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tgt_list)
+    src_b = jax.tree.map(lambda *xs: jnp.stack(xs), *src_list)
     rb = vfn(tgt_b, src_b, jax.random.split(jax.random.PRNGKey(1), B))
     hard_sync(rb)
     t0 = time.perf_counter()
@@ -88,13 +103,16 @@ def main():
     batch_ok = bool(np.asarray(rb.success).all())
 
     # multi-seed robustness (the C++ reference measured 7/10 on this pair,
-    # BASELINE.md): the last batched run used B distinct PRNG keys — score
-    # each pose against ground truth
-    Tb = np.asarray(rb.transform)
+    # BASELINE.md): rerun the single polyhedron pair with B distinct PRNG
+    # keys — score each pose against ground truth
+    rs = vfn(jax.tree.map(lambda x: jnp.stack([x] * B), tgt),
+             jax.tree.map(lambda x: jnp.stack([x] * B), src),
+             jax.random.split(jax.random.PRNGKey(2), B))
+    Tb = np.asarray(rs.transform)
     cb = (np.trace(np.einsum("ij,bjk->bik", GT[:3, :3].T, Tb[:, :3, :3]),
                    axis1=1, axis2=2) - 1.0) / 2.0
     rot_b = np.degrees(np.arccos(np.clip(cb, -1.0, 1.0)))
-    seed_successes = int(np.sum((rot_b < 5.0) & np.asarray(rb.success)))
+    seed_successes = int(np.sum((rot_b < 5.0) & np.asarray(rs.success)))
 
     # ICP refinement value-add: error delta vs the coarse pose on the same
     # pair (the reference ships the raw hypothesis; refine/icp.py is this
@@ -123,12 +141,20 @@ def main():
         "extra": {
             "batched_s_per_pair": round(batch_dt, 4),
             "batch_size": B,
+            "batch_note": "B distinct pairs (polyhedron + 7 synthetic "
+                          "scan pairs), real straggler variance",
             "single_pairs_per_s": round(single_pairs_per_s, 4),
             "single_s_per_pair": round(dt, 4),
             "rot_err_deg": round(rot_err_deg, 3),
             "trans_err": round(trans_err, 4),
             "success": bool(res.success),
             "batched_all_success": batch_ok,
+            "extract_rounds": [int(x) for x in np.asarray(stats.rounds)],
+            "extract_drawn": [round(float(x), 1)
+                              for x in np.asarray(stats.drawn)],
+            "extract_trials": [int(x) for x in np.asarray(stats.trials)],
+            "match_saturated": int(res.match_saturated),
+            "pen_overflow": int(res.pen_overflow),
             "seed_success_rate": f"{seed_successes}/{B}",
             "seed_success_note": "rot err < 5 deg vs GT over the batch's "
                                  "distinct PRNG keys; C++ reference "

@@ -109,12 +109,23 @@ class PoseSet(NamedTuple):
 
 
 class RegistrationResult(NamedTuple):
-    """Output of one pair registration."""
+    """Output of one pair registration.
+
+    ``match_saturated`` / ``pen_overflow`` are truncation diagnostics: the
+    reference's descriptor search and penetration loop are unbounded
+    (util.cpp:115, util.cpp:450-511) while the TPU pipeline compacts into
+    static budgets — nonzero values mean matches/tests were dropped and the
+    corresponding ``max_*`` config should be raised.
+    """
     transform: jnp.ndarray   # (4, 4) float32 — source -> target
     score: jnp.ndarray       # () float32 — 0.2*planeFrac + 0.8*overlap
     overlap: jnp.ndarray     # () float32
     matched_planes: jnp.ndarray  # () int32
     success: jnp.ndarray     # () bool
+    match_saturated: jnp.ndarray  # () int32 — query rows whose per-query
+    # neighbor cap filled (match/matching.py)
+    pen_overflow: jnp.ndarray     # () int32 — penetration triples dropped
+    # beyond max_penetration_tests (verify/penetration.py)
 
 
 #: sentinel coordinate for padded points — far outside any scene

@@ -60,7 +60,8 @@ def batch_specs(cfg: PladeConfig):
 def result_specs():
     return RegistrationResult(transform=P(PAIRS), score=P(PAIRS),
                               overlap=P(PAIRS), matched_planes=P(PAIRS),
-                              success=P(PAIRS))
+                              success=P(PAIRS), match_saturated=P(PAIRS),
+                              pen_overflow=P(PAIRS))
 
 
 @functools.lru_cache(maxsize=8)

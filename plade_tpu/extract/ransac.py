@@ -520,15 +520,24 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                     uv_a, in_a, bitmap_eps, grid, cc_eff, T_SUB),
                 in_axes=1, out_axes=1)(uv, inl)                  # (N, A)
 
-        # exclusive assignment: a point claimed by several selected lanes
-        # goes to the highest-priority (largest) one — the greedy removal
-        # order of the reference's one-at-a-time loop
-        keep_sel = kept & sel_lane[None, :]
-        first = jnp.argmax(keep_sel, axis=1)                     # (N,)
-        excl = keep_sel & (jnp.arange(A)[None, :] == first[:, None])
-        excl_support = jnp.sum(excl.astype(jnp.int32), axis=0)   # (A,)
-
-        ok_support = sel_lane & (excl_support >= min_support)
+        # exclusive assignment: sequential greedy over lanes in priority
+        # (exact-count) order — each lane claims its kept points not yet
+        # claimed by a previously ACCEPTED lane; a lane whose claimed
+        # support fails min_support releases its points to lower lanes,
+        # exactly like the reference's one-at-a-time loop (a trim-failed
+        # lane there never removed points).  A is small and static, so
+        # the loop unrolls
+        owner = jnp.full((points.shape[0],), A, jnp.int32)       # (N,)
+        excl_support = jnp.zeros((A,), jnp.int32)
+        ok_support = jnp.zeros((A,), jnp.bool_)
+        for a in range(A):
+            my = kept[:, a] & sel_lane[a] & (owner == A)
+            cnt = jnp.sum(my.astype(jnp.int32))
+            ok_a = sel_lane[a] & (cnt >= min_support)
+            owner = jnp.where(my & ok_a, a, owner)
+            excl_support = excl_support.at[a].set(cnt)
+            ok_support = ok_support.at[a].set(ok_a)
+        excl = owner[:, None] == jnp.arange(A)[None, :]          # (N, A)
         rank = jnp.cumsum(ok_support.astype(jnp.int32)) - ok_support
         room = max_extract - state.num_planes
         accept_lane = ok_support & (rank < room)
@@ -565,7 +574,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         new_sizes = state.sizes.at[pid].set(excl_support, mode="drop")
         acc_pt = jnp.any(excl & accept_lane[None, :], axis=1)    # (N,)
         new_assigned = state.assigned | acc_pt
-        new_point_plane = jnp.where(acc_pt, pid[first],
+        new_point_plane = jnp.where(acc_pt, pid[jnp.minimum(owner, A - 1)],
                                     state.point_plane)
         num_planes = state.num_planes + n_acc
 
@@ -579,12 +588,22 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         pool_dormant = pool_dormant.at[lane_sel].set(
             pool_dormant[lane_sel] | debunked, mode="drop")
 
-        # drawn decays per acceptance to reflect point removal
-        # (RansacShapeDetector:674)
-        dec = jnp.where(
-            accept_lane,
-            (1.0 - excl_support.astype(jnp.float32) / free_f) ** 3, 1.0)
-        drawn = drawn * jnp.prod(dec)
+        # drawn decays per acceptance to reflect point removal; sequential
+        # against a SHRINKING free count, matching the reference's
+        # one-acceptance-at-a-time decay (RansacShapeDetector:674) — a
+        # same-base product would leave drawn slightly overconfident when
+        # two lanes accept in one round.  A is static; the loop unrolls
+        free_rem = free_f
+        dec_prod = jnp.float32(1.0)
+        for a in range(A):
+            k_a = excl_support[a].astype(jnp.float32)
+            factor = jnp.where(
+                accept_lane[a],
+                (1.0 - jnp.minimum(k_a / jnp.maximum(free_rem, 1.0),
+                                   0.999)) ** 3, 1.0)
+            dec_prod = dec_prod * factor
+            free_rem = free_rem - jnp.where(accept_lane[a], k_a, 0.0)
+        drawn = drawn * dec_prod
 
         # ---- overlook-probability termination / auto-tune halving ------
         # exhausted: even a plane of exactly min_support would have been
@@ -601,8 +620,16 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                       & ~eligible & ~accept_lane & ~trim_fail)
         in_lanes = jnp.zeros((C,), jnp.bool_).at[lane_sel].set(
             True, mode="drop")
+        # pool estimates are subset counts (std ~ sqrt(k * R_SUB) near k);
+        # gate pending on a one-sigma LOWER confidence bound so a true
+        # >= min_support plane whose noisy estimate dips below the
+        # threshold still holds termination open (the overlook bound
+        # otherwise under-counts misses — subset noise is extra risk on
+        # top of the configured overlook probability)
+        ms_f = min_support.astype(jnp.float32)
+        est_lcb = ms_f - jnp.sqrt(jnp.maximum(ms_f, 1.0) * R_SUB)
         pending_pool = jnp.any(pool_valid & ~pool_dormant & ~in_lanes
-                               & (top_counts >= min_support))
+                               & (top_counts.astype(jnp.float32) >= est_lcb))
         pending = pending_lane | pending_pool
         # fewer free points than min_support leaves nothing to find — a
         # certainty, not a probability; without this the drawn counter

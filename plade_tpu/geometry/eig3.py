@@ -65,10 +65,27 @@ def _eigvec(A: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     best = jnp.where((n01 >= n02)[..., None] & (n01 >= n12)[..., None], c01,
                      jnp.where((n02 >= n12)[..., None], c02, c12))
     nb = jnp.maximum(jnp.sum(best * best, axis=-1, keepdims=True), 0.0)
-    # degenerate (repeated eigenvalue): all crosses vanish — any unit
-    # vector orthogonal to the non-degenerate eigenvector works; the
-    # caller-side completion below handles it, so fall back to e_x here
-    fallback = jnp.zeros_like(best).at[..., 0].set(1.0)
+    # degenerate (repeated eigenvalue lam): all row cross-products vanish
+    # because B = A - lam I has rank <= 1; its rows are all parallel to the
+    # OTHER (non-degenerate) eigenvector w, and every unit vector
+    # orthogonal to w is a valid eigenvector of lam.  A fixed fallback
+    # (e.g. e_x) can be exactly that other eigenvector — diag(c, 0, 0)
+    # with lam = 0 would get e_x, mispairing vals/vecs — so build the
+    # fallback per-matrix: project the identity axis with the smallest
+    # |w| component onto w's orthogonal complement.
+    rnorm2 = jnp.sum(B * B, axis=-1)                       # (..., 3) rows
+    w = jnp.take_along_axis(
+        B, jnp.argmax(rnorm2, axis=-1)[..., None, None]
+        .repeat(3, axis=-1), axis=-2)[..., 0, :]           # (..., 3)
+    wn2 = jnp.maximum(jnp.sum(w * w, axis=-1, keepdims=True), _EPS)
+    axis = jnp.argmin(jnp.abs(w), axis=-1)                 # (...,)
+    e = jnp.zeros_like(best)
+    e = jnp.where(axis[..., None] == jnp.arange(3), 1.0, e)
+    fb = e - (jnp.sum(e * w, axis=-1, keepdims=True) / wn2) * w
+    fbn = jnp.maximum(jnp.linalg.norm(fb, axis=-1, keepdims=True), _EPS)
+    # if B itself vanishes (A = lam I, fully degenerate) any unit vector
+    # works — the projected axis reduces to the axis itself there
+    fallback = fb / fbn
     ok = nb > 1e-30
     return jnp.where(ok, best / jnp.sqrt(jnp.where(ok, nb, 1.0)), fallback)
 

@@ -145,6 +145,12 @@ def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
     converge in 2-3 sweeps.
     """
     H = R.shape[0]
+    # the packed scatter-argmin below stores the member index in the low 16
+    # bits — a config raising max_matches past 2^16 would silently corrupt
+    # representatives, so fail loudly at trace time instead
+    assert H <= 65536, (
+        f"cluster_poses packs indices into 16 bits; H={H} > 65536 "
+        "(lower cfg.max_matches or widen the packing)")
     roll, pitch, yaw = euler_angles(R)
     e = jnp.stack([roll, pitch, yaw], axis=-1)
     tt = jnp.sum(t * t, axis=-1)

@@ -231,6 +231,7 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
     st = ct[sel]
     sel_counts = counts[sel]
 
+    pen_overflow = jnp.int32(0)
     if cfg.enable_penetration_filter:
         tests = penetration.build_tests(
             sR, st, sel_valid,
@@ -253,6 +254,7 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         rejected = penetration.rejected_candidates(
             tests, pen, cfg.max_candidate_results)
         sel_valid = sel_valid & ~rejected
+        pen_overflow = tests.overflow
 
     plane_frac = sel_counts.astype(jnp.float32) / jnp.maximum(
         src.planes.count.astype(jnp.float32), 1.0)
@@ -287,6 +289,8 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         overlap=jnp.where(success, ov[best], 0.0),
         matched_planes=jnp.where(success, sel_counts[best], 0),
         success=success,
+        match_saturated=matches.saturated,
+        pen_overflow=pen_overflow,
     )
 
 
@@ -301,23 +305,29 @@ def register_pair(tgt: PreparedCloud, src: PreparedCloud, dparams,
 # host round-trips — the unit that dist/ batches and shards over meshes
 # --------------------------------------------------------------------------
 
-def build_register_device_fn(cfg: PladeConfig, num_points: int):
+def build_register_device_fn(cfg: PladeConfig, num_points: int,
+                             with_stats: bool = False):
     """Un-jitted full-pipeline step for fixed cloud size ``num_points``.
 
     Covers the core ``registration`` overload (plade.cpp:638-662: extract
     with auto-tuning, fail when < min_planes) plus the 550-line pipeline
     (plade.cpp:31-580), entirely on device.  The host-level file entry's
     target/source swap stays on the host (plade.cpp:690-704).
+
+    ``with_stats=True`` makes the step return ``(result, stats)`` where
+    ``stats`` is the per-cloud ExtractStats pair (leading axis 2:
+    target, source) — bench/diagnostic surface for the extraction
+    round accounting.
     """
     extract = ransac.build_extract_fn(cfg, num_points, max_extract=64)
 
-    def step(tgt_cloud: Cloud, src_cloud: Cloud, key) -> RegistrationResult:
+    def step(tgt_cloud: Cloud, src_cloud: Cloud, key):
         k1, k2 = jax.random.split(key)
         floor = jnp.int32(cfg.ransac_min_allowed_support)
         # both clouds extract in one vmapped while_loop: their greedy
         # rounds run in lockstep on device, halving the sequential depth
         # of the pipeline's dominant stage
-        both = jax.vmap(lambda p, n, c, k: extract(p, n, c, k, floor)[0])(
+        both, stats = jax.vmap(lambda p, n, c, k: extract(p, n, c, k, floor))(
             jnp.stack([tgt_cloud.points, src_cloud.points]),
             jnp.stack([tgt_cloud.normals, src_cloud.normals]),
             jnp.stack([tgt_cloud.count, src_cloud.count]),
@@ -347,13 +357,16 @@ def build_register_device_fn(cfg: PladeConfig, num_points: int):
         src_prep = jax.tree.map(lambda x: x[1], preps)
         res = _register_pair_impl(tgt_prep, src_prep, (scale, lt, dsd), cfg)
         success = res.success & enough
-        return RegistrationResult(
+        out = RegistrationResult(
             transform=jnp.where(success, res.transform, jnp.eye(4)),
             score=jnp.where(success, res.score, 0.0),
             overlap=jnp.where(success, res.overlap, 0.0),
             matched_planes=jnp.where(success, res.matched_planes, 0),
             success=success,
+            match_saturated=res.match_saturated,
+            pen_overflow=res.pen_overflow,
         )
+        return (out, stats) if with_stats else out
 
     return step
 
@@ -380,13 +393,16 @@ def _pad_size(n: int, minimum: int = 4096, maximum: int | None = None) -> int:
 def _cap_cloud(points, normals, max_points: int, seed: int = 0):
     """Uniform random subsample when a cloud exceeds the static-shape budget
     (``cfg.max_points``).  The reference has no such cap — it is the padded
-    buffer ceiling the TPU programs are compiled for."""
+    buffer ceiling the TPU programs are compiled for.
+
+    Returns (points, normals, capped) — ``capped`` is True when the
+    subsample fired (callers surface it through their info dicts)."""
     n = points.shape[0]
     if n <= max_points:
-        return points, normals
+        return points, normals, False
     rng = np.random.default_rng(seed)
     idx = np.sort(rng.choice(n, size=max_points, replace=False))
-    return points[idx], normals[idx]
+    return points[idx], normals[idx], True
 
 
 def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
@@ -410,10 +426,10 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
         tgt_normals, src_normals = src_normals, tgt_normals
         swapped = True
 
-    tgt_points, tgt_normals = _cap_cloud(tgt_points, tgt_normals,
-                                         cfg.max_points, seed)
-    src_points, src_normals = _cap_cloud(src_points, src_normals,
-                                         cfg.max_points, seed + 1)
+    tgt_points, tgt_normals, tgt_capped = _cap_cloud(
+        tgt_points, tgt_normals, cfg.max_points, seed)
+    src_points, src_normals, src_capped = _cap_cloud(
+        src_points, src_normals, cfg.max_points, seed + 1)
     pad = _pad_size(max(tgt_points.shape[0], src_points.shape[0]),
                     maximum=cfg.max_points)
     tgt_cloud = pad_cloud(tgt_points, tgt_normals, pad)
@@ -447,6 +463,9 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
     info = {"swapped": swapped,
             "tgt_planes": int(tgt_planes.count),
             "src_planes": int(src_planes.count)}
+    if tgt_capped or src_capped:
+        info["cloud_capped"] = {"target": tgt_capped, "source": src_capped,
+                                "max_points": cfg.max_points}
     if int(tgt_planes.count) < cfg.min_planes or \
        int(src_planes.count) < cfg.min_planes:
         # too few planes (plade.cpp:646-657)
@@ -472,6 +491,8 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
     info["overlap"] = float(result.overlap)
     info["matched_planes"] = int(result.matched_planes)
     info["success"] = bool(result.success)
+    info["match_saturated"] = int(result.match_saturated)
+    info["pen_overflow"] = int(result.pen_overflow)
     if swapped:
         T = np.linalg.inv(T)
     return T, info
@@ -531,6 +552,8 @@ def register_with_planes(tgt_points, tgt_normals, src_points, src_normals,
     info["overlap"] = float(result.overlap)
     info["matched_planes"] = int(result.matched_planes)
     info["success"] = bool(result.success)
+    info["match_saturated"] = int(result.match_saturated)
+    info["pen_overflow"] = int(result.pen_overflow)
     return np.asarray(result.transform), info
 
 

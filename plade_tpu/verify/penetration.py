@@ -80,6 +80,10 @@ class PenTests(NamedTuple):
     direc: jnp.ndarray    # (K, 3)
     length: jnp.ndarray   # (K,)
     valid: jnp.ndarray    # (K,) bool
+    overflow: jnp.ndarray # () int32 — triples needing a point test beyond
+    # the ``max_tests`` budget (dropped).  The reference's penetration loop
+    # is unbounded (util.cpp:450-511); a nonzero overflow means candidates
+    # may have escaped rejection and the budget should be raised.
 
 
 def build_tests(R, t, cand_valid,
@@ -142,6 +146,7 @@ def build_tests(R, t, cand_valid,
 
     flat = need.reshape(-1)
     total = C * Ps * Pt
+    n_need = jnp.sum(flat.astype(jnp.int32))
     idx = jnp.nonzero(flat, size=max_tests, fill_value=total)[0]
     ok = idx < total
     idx_safe = jnp.minimum(idx, total - 1)
@@ -155,6 +160,7 @@ def build_tests(R, t, cand_valid,
         direc=direc.reshape(total, 3)[idx_safe],
         length=length.reshape(total)[idx_safe],
         valid=ok,
+        overflow=jnp.maximum(n_need - max_tests, 0),
     )
 
 
@@ -235,10 +241,12 @@ def run_tests(tests: PenTests, R, t,
     chunk = min(chunk, K)
     nchunks = (K + chunk - 1) // chunk
     pad = nchunks * chunk - K
+    per_test = (tests.cand, tests.src, tests.tgt, tests.start, tests.direc,
+                tests.length, tests.valid)      # overflow scalar excluded
     padded = jax.tree.map(
         lambda x: jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x,
-        tests)
+        per_test)
     tc = jax.tree.map(lambda x: x.reshape((nchunks, chunk) + x.shape[1:]),
                       padded)
     pen = jax.lax.map(one_chunk, tuple(tc))
