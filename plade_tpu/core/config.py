@@ -88,9 +88,17 @@ class PladeConfig:
     #: per-round array; a draw subset only thins the companion-sampling
     #: population, which stays unbiased)
     ransac_draw_subset: int = 8
-    #: pool entries exactly rescored on ALL points per round (one (N, A)
-    #: matmul); acceptance and the multi-accept greedy act on these.
-    #: Per-lane work (masks, trim) is the round's marginal cost; 2 lanes
+    #: pool entries exactly rescored on ALL points per round (one
+    #: (N, A_chk) matmul); acceptance, debunking, and the multi-accept
+    #: greedy act on these.  Checking is one extra matmul column per
+    #: lane — nearly free — while refit/trim are per-lane heavy, so at
+    #: most ``ransac_exact_lanes`` of the checked lanes proceed to
+    #: acceptance per round.  A wide check set drains the pool of noisy
+    #: subset estimates many lanes per round (measured: the extraction
+    #: tail spent 11 rounds debunking a ~30-entry pool at 2 checks/round)
+    ransac_check_lanes: int = 8
+    #: checked lanes that proceed to refit + CC-trim + acceptance per
+    #: round.  Per-lane refit/trim is the round's marginal cost; 2 lanes
     #: measured 36% faster than 4 on the sample pair with identical
     #: extraction output (acceptance waves are rarely wider than 2)
     ransac_exact_lanes: int = 2
@@ -147,6 +155,19 @@ class PladeConfig:
     overlap_exact_k: int = 8
     #: dense occupancy bitmap resolution (cells per side)
     overlap_grid: int = 256
+    #: ORIENTED overlap: an exact-phase hit requires a radius-neighbor
+    #: whose normal agrees (transformed source normal . target normal >=
+    #: this cosine).  DELIBERATE DEVIATION from the reference's
+    #: position-only ComputeOverlap (util.h:611-647): under repetitive
+    #: structure an aliasing pose (e.g. a 180-degree room flip onto a
+    #: geometry replica) can beat the true pose on raw point overlap —
+    #: measured on the synthetic RESSO scenes, where the aliased winner
+    #: scored 0.84 vs the true pose's 0.74 while matching fewer planes.
+    #: Orientation gating deflates exactly those replica hits (normals of
+    #: non-repeating structure disagree) and costs the true pose nothing.
+    #: Default cos(45 deg) tolerates per-point normal noise well past any
+    #: realistic scanner estimate; 0.0 restores reference-exact scoring.
+    overlap_normal_cos: float = 0.7071067811865476
 
     # ----- padded shapes (TPU static-shape budget) -----
     max_points: int = 131072          #: padded full-resolution cloud size
@@ -163,6 +184,22 @@ class PladeConfig:
     icp_iters: int = 20
     icp_max_corr_factor: float = 4.0  # x average_spacing correspondence cutoff
     enable_icp: bool = False          # reference has no ICP; off by default
+
+    # ----- tight-radius rescore (framework addition; pipeline.py) -----
+    #: ICP-refine the top-K coarse candidates and re-rank them by an exact
+    #: oriented overlap at ``rescore_radius_factor x average_spacing``.
+    #: The reference's dsd-radius overlap argmax cannot tell an aliasing
+    #: pose over repetitive structure from the true pose (both pass the
+    #: loose radius); post-ICP tight overlap can, because an alias cannot
+    #: align structure that does not correspond.  Only the argmax among
+    #: the top-K changes — the coarse reference score still ranks.  0
+    #: disables (reference-exact final ranking).
+    #: K counts POSE-DISTINCT modes (greedy score order, skipping
+    #: candidates within the clustering tolerances of a picked pose) —
+    #: plain top-K fills with near-duplicates of one family
+    rescore_top_k: int = 8
+    rescore_radius_factor: float = 2.0
+    rescore_icp_iters: int = 6
 
     # derived helpers ------------------------------------------------------
     def derived(self, average_spacing: float) -> "DerivedParams":

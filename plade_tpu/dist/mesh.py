@@ -127,8 +127,12 @@ def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
     capped = []
     max_n = 0
     for i, (tp, tn, sp, sn) in enumerate(cloud_pairs):
-        tp, tn = _cap_cloud(tp, tn, cfg.max_points, seed + 2 * i)
-        sp, sn = _cap_cloud(sp, sn, cfg.max_points, seed + 2 * i + 1)
+        tp, tn, t_capped = _cap_cloud(tp, tn, cfg.max_points, seed + 2 * i)
+        sp, sn, s_capped = _cap_cloud(sp, sn, cfg.max_points,
+                                      seed + 2 * i + 1)
+        if t_capped or s_capped:
+            print(f"[register_array_pairs] pair {i}: cloud capped to "
+                  f"max_points={cfg.max_points}", flush=True)
         max_n = max(max_n, tp.shape[0], sp.shape[0])
         capped.append((tp, tn, sp, sn))
     pad = _pad_size(max_n, maximum=cfg.max_points)

@@ -60,8 +60,9 @@ is a small dense matmul, so the design becomes:
     6. once (1 - min_support/(4 N_free))^drawn < overlook_prob — no plane
        of min_support plausibly remains — halve min_support while fewer
        than min_planes planes exist (the reference auto-tuner's re-run,
-       plade.cpp:602-635, capped at ransac_max_trials halvings with
-       ``drawn`` reset per run) or finish.  Lanes debunked at the current
+       plade.cpp:602-635, capped at ransac_max_trials halvings; unlike
+       the reference's fresh runs, ``drawn`` carries across halvings —
+       see the deliberate-deviation note at the halving site) or finish.  Lanes debunked at the current
        support level (exact count below it) turn DORMANT in the pool
        rather than being re-checked every round; halving wakes them, so a
        plane already drawn at a higher level is accepted at the lower one
@@ -143,6 +144,10 @@ class _State(NamedTuple):
     level_probs: jnp.ndarray   # (L,) f32 — 3-point sampling level weights
     ban_n: jnp.ndarray         # (K, 3) — trim-failed planes (ring buffer)
     ban_d: jnp.ndarray         # (K,)
+    ban_loose: jnp.ndarray     # (K,) bool — loose-tolerance ban (trim-fail
+    # family: every refit of a fragmented structure differs slightly, so
+    # the match window must be wide; debunk bans stay tight to avoid
+    # blocking genuinely distinct nearby planes)
     ban_count: jnp.ndarray     # () int32 — total bans pushed (ring cursor)
     done: jnp.ndarray          # () bool
 
@@ -270,6 +275,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
     T_SUB = max(1, cfg.ransac_trim_subset)
     D_SUB = max(R_SUB, cfg.ransac_draw_subset)
     A = min(cfg.ransac_exact_lanes, C)
+    A_CHK = min(max(cfg.ransac_check_lanes, A), C)
     CONFLICT_FRAC = cfg.ransac_conflict_frac
     import os as _os
     _ABLATE = set(_os.environ.get("PLADE_ABLATE", "").split(","))
@@ -365,9 +371,15 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         def banned_mask(nmat, dvec):
             dots = nmat @ state.ban_n.T                          # (., K)
             sgn = jnp.sign(dots + 1e-30)
-            near = (jnp.abs(dots) > 0.999) & \
-                (jnp.abs(dvec[:, None] * sgn - state.ban_d[None, :])
-                 < 3.0 * eps)
+            dd = jnp.abs(dvec[:, None] * sgn - state.ban_d[None, :])
+            # trim-fail bans match loosely (each refit of a fragmented
+            # structure lands a few degrees away — measured: tight bans
+            # let the same structure burn an accept lane 9 rounds in a
+            # row); debunk bans stay tight so a genuinely distinct plane
+            # a few eps away is not collateral
+            thr_dot = jnp.where(state.ban_loose, 0.995, 0.999)[None, :]
+            thr_dd = jnp.where(state.ban_loose, 6.0, 3.0)[None, :] * eps
+            near = (jnp.abs(dots) > thr_dot) & (dd < thr_dd)
             live = jnp.arange(state.ban_n.shape[0]) < \
                 jnp.minimum(state.ban_count, state.ban_n.shape[0])
             return jnp.any(near & live[None, :], axis=1)
@@ -432,17 +444,23 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             p = jnp.clip(k_f / (4.0 * free_f), 0.0, 0.999999)
             return dr * jnp.log1p(-p)
 
-        # ---- exact lanes: rescore the pool's top-A live estimates on ALL
-        # points in one (N, A) pass — acceptance acts on these, same round
+        # ---- exact check lanes: rescore the pool's top-A_CHK live
+        # estimates on ALL points in one (N, A_CHK) matmul — acceptance
+        # AND debunking act on these, same round.  Checking a lane is one
+        # extra matmul column (nearly free); refit/trim are per-lane
+        # heavy, so only the top A selected lanes proceed below.  The
+        # wide check set drains noisy subset estimates many lanes per
+        # round — the extraction tail otherwise spends ~10 rounds
+        # debunking a full pool two lanes at a time
         lane_key = jnp.where(pool_valid & ~pool_dormant, top_counts, -1)
-        lane_est, lane_sel = jax.lax.top_k(lane_key, A)
-        lane_n = pool_n[lane_sel]                                # (A, 3)
+        lane_est, lane_sel = jax.lax.top_k(lane_key, A_CHK)
+        lane_n = pool_n[lane_sel]                              # (A_CHK, 3)
         lane_d = pool_d[lane_sel]
         lane_live = (lane_est > 0)
         dd_l = jnp.abs(jnp.dot(points, lane_n.T, precision=hi)
                        + lane_d[None, :])
         nd_l = jnp.abs(jnp.dot(normals, lane_n.T, precision=hi))
-        Mmask = (dd_l < eps) & (nd_l > thr) & free[:, None]      # (N, A)
+        Mmask = (dd_l < eps) & (nd_l > thr) & free[:, None]    # (N, A_CHK)
         exact = jnp.where(lane_live,
                           jnp.sum(Mmask.astype(jnp.int32), axis=0), 0)
 
@@ -460,18 +478,31 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
 
         # ---- multi-accept: greedy selection of non-conflicting lanes ----
         # conflict = shared exact inliers > frac * the smaller support
-        # (one (A, A) mask-matmul); A is small and static, so the greedy
-        # pass unrolls
+        # (one (A_CHK, A_CHK) mask-matmul); static size, the greedy pass
+        # unrolls.  At most A lanes are kept (refit/trim width)
         Mf = Mmask.astype(jnp.float32)
-        shared = jnp.dot(Mf.T, Mf, precision=hi)                 # (A, A)
+        shared = jnp.dot(Mf.T, Mf, precision=hi)           # (A_CHK, A_CHK)
         smaller = jnp.minimum(exact[:, None], exact[None, :])
         conflict = shared > CONFLICT_FRAC * jnp.maximum(
             smaller.astype(jnp.float32), 1.0)
-        conflict &= ~jnp.eye(A, dtype=bool)
-        sel_lane = jnp.zeros((A,), jnp.bool_)
-        for a in range(A):
+        conflict &= ~jnp.eye(A_CHK, dtype=bool)
+        sel_lane = jnp.zeros((A_CHK,), jnp.bool_)
+        for a in range(A_CHK):
             clash = jnp.any(sel_lane & conflict[a])
             sel_lane = sel_lane.at[a].set(eligible[a] & ~clash)
+        sel_rank = jnp.cumsum(sel_lane.astype(jnp.int32)) - sel_lane
+        sel_lane &= sel_rank < A
+
+        # compact the <= A selected lanes into A static slots (priority
+        # order preserved — slot indices ascend in exact-count order)
+        slot = jnp.sort(jnp.where(sel_lane, jnp.arange(A_CHK), A_CHK))[:A]
+        slot_ok = slot < A_CHK                                  # (A,)
+        slot_safe = jnp.minimum(slot, A_CHK - 1)
+        sel_n = lane_n[slot_safe]                               # (A, 3)
+        sel_d = lane_d[slot_safe]
+        # chk-space scatter index for mapping slot results back (invalid
+        # slots drop)
+        back_idx = jnp.where(slot_ok, slot_safe, A_CHK)
 
         # ---- refit selected lanes (vmapped Gaussian-gated LS) ----------
         def wscore_l(n_, d_):
@@ -498,11 +529,11 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                     jnp.where(better, d2, d_), jnp.maximum(sc2, sc_))
 
         if "refit" in _ABLATE:
-            ln, ld = lane_n, lane_d
+            ln, ld = sel_n, sel_d
         else:
             ln, ld, _ = jax.lax.fori_loop(
                 0, cfg.ransac_refit_rounds, refit,
-                (lane_n, lane_d, wscore_l(lane_n, lane_d)))
+                (sel_n, sel_d, wscore_l(sel_n, sel_d)))
         dd_f = jnp.abs(jnp.dot(points, ln.T, precision=hi) + ld[None, :])
         nd_f = jnp.abs(jnp.dot(normals, ln.T, precision=hi))
         inl = (dd_f < 3.0 * eps) & (nd_f > thr) & free[:, None]  # (N, A)
@@ -531,9 +562,9 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         excl_support = jnp.zeros((A,), jnp.int32)
         ok_support = jnp.zeros((A,), jnp.bool_)
         for a in range(A):
-            my = kept[:, a] & sel_lane[a] & (owner == A)
+            my = kept[:, a] & slot_ok[a] & (owner == A)
             cnt = jnp.sum(my.astype(jnp.int32))
-            ok_a = sel_lane[a] & (cnt >= min_support)
+            ok_a = slot_ok[a] & (cnt >= min_support)
             owner = jnp.where(my & ok_a, a, owner)
             excl_support = excl_support.at[a].set(cnt)
             ok_support = ok_support.at[a].set(ok_a)
@@ -547,16 +578,25 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         # exact count fell below min_support (debunked estimates) are
         # banned, so freshly drawn duplicates cannot burn lanes retrying
         # them at this support level (exact counts only ever decrease, so
-        # the ban is sound; it clears on halving)
-        trim_fail = sel_lane & ~ok_support
+        # the ban is sound; it clears on halving).  Slot results scatter
+        # back to chk-space first; trim-failed slots ban their REFIT
+        # coefficients (the plane actually tested)
+        trim_fail_slot = slot_ok & ~ok_support                  # (A,)
+        accept_chk = jnp.zeros((A_CHK,), jnp.bool_).at[back_idx].set(
+            accept_lane, mode="drop")
+        trim_fail = jnp.zeros((A_CHK,), jnp.bool_).at[back_idx].set(
+            trim_fail_slot, mode="drop")
         debunked = lane_live & (exact < min_support)
         to_ban = trim_fail | debunked
+        ban_src_n = lane_n.at[back_idx].set(ln, mode="drop")
+        ban_src_d = lane_d.at[back_idx].set(ld, mode="drop")
         K_ban = state.ban_n.shape[0]
         tf_rank = jnp.cumsum(to_ban.astype(jnp.int32)) - to_ban
         ban_idx = jnp.where(to_ban,
                             jnp.mod(state.ban_count + tf_rank, K_ban), K_ban)
-        ban_n = state.ban_n.at[ban_idx].set(lane_n, mode="drop")
-        ban_d = state.ban_d.at[ban_idx].set(lane_d, mode="drop")
+        ban_n = state.ban_n.at[ban_idx].set(ban_src_n, mode="drop")
+        ban_d = state.ban_d.at[ban_idx].set(ban_src_d, mode="drop")
+        ban_loose = state.ban_loose.at[ban_idx].set(trim_fail, mode="drop")
         ban_count = state.ban_count + jnp.sum(to_ban.astype(jnp.int32))
 
         # orient normals along the mean support-point normal (intended
@@ -582,7 +622,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         # debunked lanes (estimate ranked them in but exact < min_support)
         # turn dormant and wait for the next halving; conflict-deferred
         # and not-yet-confident lanes stay live
-        drop = accept_lane | trim_fail
+        drop = accept_chk | trim_fail
         pool_valid = pool_valid.at[lane_sel].set(
             pool_valid[lane_sel] & ~drop, mode="drop")
         pool_dormant = pool_dormant.at[lane_sel].set(
@@ -615,9 +655,9 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         # one way or another, so this cannot livelock).  The streak of two
         # keeps the single-round race (fresh draw entering the pool as the
         # bound fires) from terminating past it.
-        pending_lane = jnp.any(eligible & ~accept_lane & ~trim_fail) \
+        pending_lane = jnp.any(eligible & ~accept_chk & ~trim_fail) \
             | jnp.any(lane_live & (exact >= min_support)
-                      & ~eligible & ~accept_lane & ~trim_fail)
+                      & ~eligible & ~accept_chk & ~trim_fail)
         in_lanes = jnp.zeros((C,), jnp.bool_).at[lane_sel].set(
             True, mode="drop")
         # pool estimates are subset counts (std ~ sqrt(k * R_SUB) near k);
@@ -647,10 +687,19 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         halve = exhausted & need_more & can_halve
         new_support = jnp.where(
             halve, jnp.maximum(min_support // 2, floor_support), min_support)
-        # each halving mirrors a fresh reference detector run: drawn
-        # resets, bans clear, dormant planes wake for re-checking at the
-        # lower support threshold
-        drawn = jnp.where(halve, 0.0, drawn)
+        # each halving wakes dormant planes and clears bans for re-checking
+        # at the lower support threshold.  DELIBERATE DEVIATION from the
+        # reference's full re-run (which restarts its draw counter from
+        # zero): ``drawn`` is KEPT across halvings.  Every draw since the
+        # last free-set change is a valid Bernoulli trial against planes
+        # of ANY support k at the current free set — p_hit depends only on
+        # k — so the accumulated evidence transfers to the lower threshold
+        # unchanged (the bound (1-k/(4N))^drawn just gets evaluated at the
+        # smaller k, correctly requiring more draws before it fires).
+        # Resetting would re-pay ~log(overlook)/log1p(-k/4N) draws per
+        # level; keeping them collapses the halving cascade to ~1 round
+        # per level.  Acceptance decay (above) already discounts draws
+        # that predate free-set shrinkage, exactly as the reference does.
         pool_dormant = jnp.where(halve,
                                  jnp.zeros_like(pool_dormant), pool_dormant)
         rounds = state.rounds + 1
@@ -676,6 +725,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             level_probs=new_level_probs,
             ban_n=ban_n,
             ban_d=ban_d,
+            ban_loose=ban_loose,
             # bans are per-support-level: a plane too small for this level
             # may be perfectly valid after halving
             ban_count=jnp.where(halve, 0, ban_count),
@@ -724,8 +774,12 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             pool_valid=jnp.zeros((C,), jnp.bool_),
             pool_dormant=jnp.zeros((C,), jnp.bool_),
             level_probs=jnp.full((L,), 1.0 / L, jnp.float32),
-            ban_n=jnp.zeros((32, 3), jnp.float32),
-            ban_d=jnp.zeros((32,), jnp.float32),
+            # ban ring must outlast many rounds of wide-lane debunking:
+            # at A_CHK=8 debunks/round a 32-ring wraps in ~4 rounds and
+            # debunked planes get redrawn forever (measured: rounds 34->57)
+            ban_n=jnp.zeros((256, 3), jnp.float32),
+            ban_d=jnp.zeros((256,), jnp.float32),
+            ban_loose=jnp.zeros((256,), jnp.bool_),
             ban_count=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
         )

@@ -262,11 +262,81 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         sR, st, sel_valid, src.ds.points, src.ds.count,
         tgt.ds.points, tgt.ds.count, dsd,
         plane_frac=plane_frac, face_weight=cfg.face_matches_weight,
-        exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid)
+        exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid,
+        src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
+        normal_cos=cfg.overlap_normal_cos)
     score = cfg.face_matches_weight * plane_frac \
         + (1.0 - cfg.face_matches_weight) * ov
     score = jnp.where(sel_valid, score, -jnp.inf)
     best = jnp.argmax(score)
+    refined_winner = None
+
+    if cfg.rescore_top_k > 0:
+        # TIGHT-RADIUS RESCORE of the top-K coarse candidates (framework
+        # addition; the reference ships the raw dsd-radius overlap argmax,
+        # plade.cpp:545-575).  Rationale: at inlier radius dsd (4x point
+        # spacing) an aliasing pose over repetitive structure keeps its
+        # false hits — structural mismatches of 0.1-0.6 world units all
+        # pass a 0.16 test once the coarse pose is only hypothesis-
+        # accurate.  After point-to-plane ICP, the TRUE pose aligns shared
+        # surfaces to noise level while an alias cannot align what does
+        # not correspond, so an exact oriented overlap at ~2x spacing
+        # separates them decisively (measured on the synthetic RESSO
+        # scenes: alias 0.83 vs true 0.74 at radius dsd, flipped well
+        # apart at dsd/2 post-ICP).  The coarse score still ranks; only
+        # the final argmax among the top-K changes.
+        from .refine.icp import refine_icp
+        K = cfg.rescore_top_k
+        # POSE-DIVERSE top-K: the plain score top-K is typically K near-
+        # duplicate clusters of one pose family (measured: all four top
+        # slots were variants of the same alias, the true pose ranked
+        # just below), so pick greedily by score while skipping any
+        # candidate within (length_threshold, 2x angle_threshold) of an
+        # already-picked pose — K distinct pose modes enter the rescore
+        C2 = score.shape[0]
+        tr_all = st                                          # (C,3)
+        cosag = jnp.einsum("aij,bij->ab", sR, sR)            # trace(RaRb^T)
+        near_pose = (jnp.linalg.norm(
+            tr_all[:, None, :] - tr_all[None, :, :], axis=-1)
+            < length_threshold) \
+            & (cosag > 1.0 + 2.0 * math.cos(2.0 * cfg.angle_threshold))
+
+        def pick(k, state):
+            banned, sel = state
+            avail = (score > -jnp.inf) & ~banned
+            i = jnp.argmax(jnp.where(avail, score, -jnp.inf))
+            ok = avail[i]
+            sel = sel.at[k].set(jnp.where(ok, i, C2))
+            banned = banned | (near_pose[i] & ok)
+            banned = banned.at[i].set(True)
+            return banned, sel
+
+        _, sel_k = jax.lax.fori_loop(
+            0, K, pick, (jnp.zeros((C2,), bool),
+                         jnp.full((K,), C2, jnp.int32)))
+        kvalid = sel_k < C2
+        top_idx = jnp.minimum(sel_k, C2 - 1)
+        Rr, tr, _, _ = jax.vmap(
+            lambda R0, t0: refine_icp(
+                R0, t0, src.ds.points, src.ds.mask,
+                tgt.ds.points, tgt.ds.normals, dsd,
+                cfg.rescore_icp_iters))(sR[top_idx], st[top_idx])
+        r_fine = cfg.rescore_radius_factor * dsd / cfg.downsample_factor
+        smask = src.ds.mask
+        cnt_f = overlap_mod.exact_overlap_counts(
+            Rr, tr, src.ds.points, smask, tgt.ds.points, r_fine * r_fine,
+            src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
+            normal_cos=cfg.overlap_normal_cos)
+        denom = jnp.maximum(jnp.minimum(src.ds.count, tgt.ds.count),
+                            1).astype(jnp.float32)
+        ov_f = cnt_f.astype(jnp.float32) / denom
+        score_f = cfg.face_matches_weight * plane_frac[top_idx] \
+            + (1.0 - cfg.face_matches_weight) * ov_f
+        score_f = jnp.where(kvalid, score_f, -jnp.inf)
+        bestk = jnp.argmax(score_f)
+        best = top_idx[bestk]
+        refined_winner = (Rr[bestk], tr[bestk])
+
     success = jnp.any(sel_valid) & (matches.count > 0)
     Rb = jnp.where(success, sR[best], jnp.eye(3))
     tb = jnp.where(success, st[best], jnp.zeros(3))
@@ -274,12 +344,16 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
     if cfg.enable_icp:
         # point-to-plane refinement of the winning coarse pose
         # (addition vs reference — it ships the raw hypothesis,
-        # plade.cpp:545-575)
-        from .refine.icp import refine_icp
-        max_corr = cfg.icp_max_corr_factor * dsd / cfg.downsample_factor
-        Ri, ti, _, _ = refine_icp(
-            Rb, tb, src.ds.points, src.ds.mask,
-            tgt.ds.points, tgt.ds.normals, max_corr, cfg.icp_iters)
+        # plade.cpp:545-575).  The rescore stage already refined the
+        # winner; reuse it instead of a second ICP run.
+        if refined_winner is not None:
+            Ri, ti = refined_winner
+        else:
+            from .refine.icp import refine_icp
+            max_corr = cfg.icp_max_corr_factor * dsd / cfg.downsample_factor
+            Ri, ti, _, _ = refine_icp(
+                Rb, tb, src.ds.points, src.ds.mask,
+                tgt.ds.points, tgt.ds.normals, max_corr, cfg.icp_iters)
         Rb = jnp.where(success, Ri, Rb)
         tb = jnp.where(success, ti, tb)
 

@@ -78,26 +78,93 @@ def approx_overlap_counts(bitmap, origin, cell, R, t, src_points, smask,
     return jnp.sum(hit.astype(jnp.int32), axis=1)
 
 
-def exact_overlap_counts(R, t, src_points, smask, tgt_points, r2):
+def _unit(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def oriented_min_dist_sq(q, qn, refs, rn, normal_cos, block: int = 2048):
+    """Per-query squared distance to the nearest reference point whose
+    normal agrees (``qn . rn >= normal_cos``).  Both the distance cross
+    term and the normal-dot block are MXU matmuls; reference blocks stream
+    through a scan so memory stays at Q x block."""
+    n = refs.shape[0]
+    pad = (-n) % block
+    if pad:
+        refs = jnp.concatenate(
+            [refs, jnp.full((pad, 3), 1e8, refs.dtype)], axis=0)
+        rn = jnp.concatenate([rn, jnp.zeros((pad, 3), rn.dtype)], axis=0)
+    rb = refs.reshape(-1, block, 3)
+    rnb = rn.reshape(-1, block, 3)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(carry, rrnn):
+        rr, nn = rrnn
+        d2 = jnp.maximum(
+            qq - 2.0 * jnp.dot(q, rr.T, preferred_element_type=jnp.float32,
+                               precision=hi)
+            + jnp.sum(rr * rr, axis=-1)[None, :], 0.0)
+        # normal agreement: padded refs have zero normals -> dot 0 -> cut
+        dots = jnp.dot(qn, nn.T, preferred_element_type=jnp.float32)
+        d2 = jnp.where(dots >= normal_cos, d2, jnp.inf)
+        return jnp.minimum(carry, jnp.min(d2, axis=1)), None
+
+    init = jnp.full((q.shape[0],), jnp.inf, jnp.float32)
+    out, _ = jax.lax.scan(step, init, (rb, rnb))
+    return out
+
+
+def exact_overlap_counts(R, t, src_points, smask, tgt_points, r2,
+                         src_normals=None, tgt_normals=None,
+                         normal_cos: float = 0.0):
     """Exact per-candidate inlier counts via the tiled NN kernel.
     R: (K,3,3), t: (K,3).
 
     All K transformed source clouds are concatenated into ONE query array
     so the distance kernel launches once ((K*S, T) tiles) instead of K
-    serialized times."""
+    serialized times.
+
+    With ``normal_cos > 0`` and normals given, a source point only counts
+    when some target point within radius ALSO agrees in normal direction
+    (oriented overlap — see overlap_scores).
+    """
     K = R.shape[0]
     S = src_points.shape[0]
     q = (jnp.einsum("kij,sj->ksi", R, src_points)
          + t[:, None, :]).reshape(K * S, 3)
-    d2 = min_dist_sq(q, tgt_points).reshape(K, S)
+    if normal_cos > 0.0 and src_normals is not None \
+            and tgt_normals is not None:
+        qn = jnp.einsum("kij,sj->ksi", R, _unit(src_normals)) \
+            .reshape(K * S, 3)
+        d2 = oriented_min_dist_sq(q, qn, tgt_points,
+                                  _unit(tgt_normals), normal_cos) \
+            .reshape(K, S)
+    else:
+        d2 = min_dist_sq(q, tgt_points).reshape(K, S)
     return jnp.sum(((d2 <= r2) & smask[None, :]).astype(jnp.int32), axis=1)
 
 
 def overlap_scores(R, t, cand_valid, src_points, src_count,
                    tgt_points, tgt_count, inlier_distance,
                    plane_frac=None, face_weight: float = 0.2,
-                   exact_k: int = 16, grid: int = 256):
+                   exact_k: int = 16, grid: int = 256,
+                   src_normals=None, tgt_normals=None,
+                   normal_cos: float = 0.0):
     """(C,) overlap ratios with a provably exact final argmax.
+
+    ``normal_cos > 0`` enables ORIENTED overlap: an exact-phase hit
+    additionally requires a radius-neighbor whose normal agrees
+    (``n_src_transformed . n_tgt >= normal_cos``).  DELIBERATE DEVIATION
+    from the reference's position-only ComputeOverlap (util.h:611-647):
+    under repetitive structure (RESSO building floors, the synthetic
+    room rows), an aliasing pose can place the source onto a geometry
+    replica and WIN the raw point-overlap argmax — walls coincide, so
+    only surface orientation of the non-repeating structure tells the
+    poses apart.  Gating hits on normal agreement deflates exactly those
+    false hits while the true pose (normals agree by construction) keeps
+    its score.  The dilated phase-1 bound stays valid: gating only
+    shrinks exact counts, so approx >= exact still holds per candidate.
+    Set 0.0 for the reference-exact score.
 
     Phase 1 ranks every candidate by an *upper bound* on the caller's
     combined score (the dilated-bitmap count is a superset of the exact
@@ -151,7 +218,10 @@ def overlap_scores(R, t, cand_valid, src_points, src_count,
         i, out, best = state
         sel = jax.lax.dynamic_slice(order_p, (i * K,), (K,))
         exact = exact_overlap_counts(R[sel], t[sel], src_points, smask,
-                                     tgt_points, r * r)
+                                     tgt_points, r * r,
+                                     src_normals=src_normals,
+                                     tgt_normals=tgt_normals,
+                                     normal_cos=normal_cos)
         ovr = exact.astype(jnp.float32) / denom
         # duplicate indices from the padded tail rewrite the same value
         out = out.at[sel].set(jnp.where(cand_valid[sel], ovr, 0.0))

@@ -43,6 +43,46 @@ def test_overlap_scores_match_numpy(rng):
         np.testing.assert_allclose(float(ov[k]), expect, atol=1e-5)
 
 
+def test_oriented_overlap_rejects_replica_alias(rng):
+    """Repetitive-structure aliasing: candidate B lands the source on a
+    geometry replica whose surface ORIENTATION differs.  Position-only
+    overlap (normal_cos=0, the reference semantics) scores both candidates
+    ~1.0; oriented overlap keeps the true pose's score and deflates the
+    replica's."""
+    n = 400
+    src = np.zeros((n, 3), np.float32)
+    src[:, :2] = rng.uniform(0, 1, size=(n, 2))
+    src_n = np.tile(np.array([0, 0, 1], np.float32), (n, 1))
+    # target: the same patch at the origin (normals +z) plus a positional
+    # replica at x+10 whose normals point +x instead
+    tgt = np.concatenate([src, src + np.array([10, 0, 0], np.float32)])
+    tgt_n = np.concatenate([src_n,
+                            np.tile(np.array([1, 0, 0], np.float32), (n, 1))])
+    Rs = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 2))
+    ts = jnp.asarray(np.array([[0, 0, 0], [10, 0, 0]], np.float32))
+
+    def pad_n(nrm, size):
+        out = np.zeros((size, 3), np.float32)
+        out[:len(nrm)] = nrm
+        return jnp.asarray(out)
+
+    common = dict(plane_frac=jnp.zeros(2), face_weight=0.0, exact_k=2,
+                  grid=128)
+    ov_plain = overlap_mod.overlap_scores(
+        Rs, ts, jnp.ones(2, bool), _pad(src, 512), jnp.asarray(n),
+        _pad(tgt, 1024), jnp.asarray(2 * n), jnp.float32(0.05), **common)
+    ov_orient = overlap_mod.overlap_scores(
+        Rs, ts, jnp.ones(2, bool), _pad(src, 512), jnp.asarray(n),
+        _pad(tgt, 1024), jnp.asarray(2 * n), jnp.float32(0.05),
+        src_normals=pad_n(src_n, 512), tgt_normals=pad_n(tgt_n, 1024),
+        normal_cos=0.7071, **common)
+    # plain: both perfect (denominator min(|src|,|tgt|) = n)
+    assert float(ov_plain[0]) == 1.0 and float(ov_plain[1]) == 1.0
+    # oriented: true pose keeps 1.0, replica drops to 0
+    assert float(ov_orient[0]) == 1.0
+    assert float(ov_orient[1]) == 0.0
+
+
 def test_overlap_bound_loop_recovers_misordered_winner():
     """Adversarial phase-1 ranking: candidate A's dilated-bitmap count is
     inflated (every transformed point lands in a dilated cell but outside

@@ -153,13 +153,17 @@ def main():
             sR, st, sel_valid & ~rejected, src.ds.points, src.ds.count,
             tgt.ds.points, tgt.ds.count, dsd,
             plane_frac=plane_frac, face_weight=cfg.face_matches_weight,
-            exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid)
+            exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid,
+            src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
+            normal_cos=cfg.overlap_normal_cos)
         # unfiltered overlap too (so a penetration-rejected GT still scores)
         ov_all = overlap_mod.overlap_scores(
             sR, st, sel_valid, src.ds.points, src.ds.count,
             tgt.ds.points, tgt.ds.count, dsd,
             plane_frac=plane_frac, face_weight=cfg.face_matches_weight,
-            exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid)
+            exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid,
+            src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
+            normal_cos=cfg.overlap_normal_cos)
         return dict(R=R, t=t, mvalid=matches.valid, mcount=matches.count,
                     crep=clusters.rep, csize=clusters.size,
                     cvalid=clusters.valid, counts=counts, sel=sel,
