@@ -186,20 +186,34 @@ class PladeConfig:
     enable_icp: bool = False          # reference has no ICP; off by default
 
     # ----- tight-radius rescore (framework addition; pipeline.py) -----
-    #: ICP-refine the top-K coarse candidates and re-rank them by an exact
-    #: oriented overlap at ``rescore_radius_factor x average_spacing``.
-    #: The reference's dsd-radius overlap argmax cannot tell an aliasing
-    #: pose over repetitive structure from the true pose (both pass the
-    #: loose radius); post-ICP tight overlap can, because an alias cannot
-    #: align structure that does not correspond.  Only the argmax among
-    #: the top-K changes — the coarse reference score still ranks.  0
-    #: disables (reference-exact final ranking).
-    #: K counts POSE-DISTINCT modes (greedy score order, skipping
+    #: re-rank the top-K coarse candidates by an exact oriented overlap at
+    #: ``rescore_radius_factor x average_spacing``.  The reference's
+    #: dsd-radius overlap argmax cannot tell an aliasing pose over
+    #: repetitive structure from the true pose (both pass the loose
+    #: radius); a tight radius can, because an alias cannot align
+    #: structure that does not correspond (cluster-centroid poses are
+    #: plane-fit accurate, so no per-candidate ICP is needed before the
+    #: tight test).  Only the argmax among the top-K changes — the coarse
+    #: reference score still ranks.  0 disables (reference-exact final
+    #: ranking).
+    #: K counts POSE-DISTINCT modes (greedy bound-score order, skipping
     #: candidates within the clustering tolerances of a picked pose) —
-    #: plain top-K fills with near-duplicates of one family
-    rescore_top_k: int = 8
+    #: plain top-K fills with near-duplicates of one family; measured:
+    #: the true pose ranked 9th among distinct modes on a lattice scene,
+    #: so K=8 missed it
+    rescore_top_k: int = 16
     rescore_radius_factor: float = 2.0
-    rescore_icp_iters: int = 6
+    #: short per-candidate re-centering ICP before the tight test (see
+    #: pipeline.py — family representatives chosen by the dilated bound
+    #: can sit off-center; without re-centering the tight test punishes
+    #: them and can overturn a correct coarse argmax)
+    rescore_icp_iters: int = 3
+    #: rescore divides aligned counts by the CO-VISIBLE count (source
+    #: points inside the target's dilated occupancy at length_threshold)
+    #: instead of cloud size — partial-overlap poses are not taxed for
+    #: regions the target never observed (see pipeline.py).  The floor
+    #: (fraction of min cloud size) stops sliver poses gaming the ratio.
+    rescore_covis_floor: float = 0.25
 
     # derived helpers ------------------------------------------------------
     def derived(self, average_spacing: float) -> "DerivedParams":

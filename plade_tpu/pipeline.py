@@ -258,18 +258,17 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
 
     plane_frac = sel_counts.astype(jnp.float32) / jnp.maximum(
         src.planes.count.astype(jnp.float32), 1.0)
-    ov = overlap_mod.overlap_scores(
+    ov, ov_approx = overlap_mod.overlap_scores(
         sR, st, sel_valid, src.ds.points, src.ds.count,
         tgt.ds.points, tgt.ds.count, dsd,
         plane_frac=plane_frac, face_weight=cfg.face_matches_weight,
         exact_k=cfg.overlap_exact_k, grid=cfg.overlap_grid,
         src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
-        normal_cos=cfg.overlap_normal_cos)
+        normal_cos=cfg.overlap_normal_cos, return_approx=True)
     score = cfg.face_matches_weight * plane_frac \
         + (1.0 - cfg.face_matches_weight) * ov
     score = jnp.where(sel_valid, score, -jnp.inf)
     best = jnp.argmax(score)
-    refined_winner = None
 
     if cfg.rescore_top_k > 0:
         # TIGHT-RADIUS RESCORE of the top-K coarse candidates (framework
@@ -285,14 +284,21 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         # scenes: alias 0.83 vs true 0.74 at radius dsd, flipped well
         # apart at dsd/2 post-ICP).  The coarse score still ranks; only
         # the final argmax among the top-K changes.
-        from .refine.icp import refine_icp
         K = cfg.rescore_top_k
         # POSE-DIVERSE top-K: the plain score top-K is typically K near-
         # duplicate clusters of one pose family (measured: all four top
         # slots were variants of the same alias, the true pose ranked
-        # just below), so pick greedily by score while skipping any
-        # candidate within (length_threshold, 2x angle_threshold) of an
-        # already-picked pose — K distinct pose modes enter the rescore
+        # just below), so pick greedily while skipping any candidate
+        # within (length_threshold, 2x angle_threshold) of an already-
+        # picked pose — K distinct pose modes enter the rescore.  The
+        # selection ranks by the phase-1 BOUND score (plane frac +
+        # dilated-bitmap overlap): the exact overlap entries are 0 for
+        # every candidate the bound loop never had to evaluate, which
+        # would rank real modes below noise
+        rank_score = jnp.where(
+            sel_valid,
+            cfg.face_matches_weight * plane_frac
+            + (1.0 - cfg.face_matches_weight) * ov_approx, -jnp.inf)
         C2 = score.shape[0]
         tr_all = st                                          # (C,3)
         cosag = jnp.einsum("aij,bij->ab", sR, sR)            # trace(RaRb^T)
@@ -303,8 +309,8 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
 
         def pick(k, state):
             banned, sel = state
-            avail = (score > -jnp.inf) & ~banned
-            i = jnp.argmax(jnp.where(avail, score, -jnp.inf))
+            avail = (rank_score > -jnp.inf) & ~banned
+            i = jnp.argmax(jnp.where(avail, rank_score, -jnp.inf))
             ok = avail[i]
             sel = sel.at[k].set(jnp.where(ok, i, C2))
             banned = banned | (near_pose[i] & ok)
@@ -316,6 +322,16 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
                          jnp.full((K,), C2, jnp.int32)))
         kvalid = sel_k < C2
         top_idx = jnp.minimum(sel_k, C2 - 1)
+        # re-center each selected family representative with a SHORT
+        # point-to-plane ICP before the tight test.  Load-bearing: the
+        # diversity pick chooses each pose family's rep by the dilated
+        # bound, which cannot tell a dead-center member from one 0.2
+        # off — and the tight radius punishes off-center reps harshly
+        # (measured: scoring raw reps overturned an already-correct
+        # coarse argmax with a 90-degree alias).  Three iterations
+        # suffice — point-to-plane Gauss-Newton on planar scenes
+        # converges from <= lt/2 error in 2-3 steps
+        from .refine.icp import refine_icp
         Rr, tr, _, _ = jax.vmap(
             lambda R0, t0: refine_icp(
                 R0, t0, src.ds.points, src.ds.mask,
@@ -323,19 +339,37 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
                 cfg.rescore_icp_iters))(sR[top_idx], st[top_idx])
         r_fine = cfg.rescore_radius_factor * dsd / cfg.downsample_factor
         smask = src.ds.mask
+        tmask = tgt.ds.mask
         cnt_f = overlap_mod.exact_overlap_counts(
             Rr, tr, src.ds.points, smask, tgt.ds.points, r_fine * r_fine,
             src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
             normal_cos=cfg.overlap_normal_cos)
+        # CO-VISIBLE normalization: divide aligned counts by the number
+        # of source points that land inside the target's OBSERVED volume
+        # (dilated occupancy at length_threshold), not by cloud size.
+        # Under partial overlap the true pose leaves the unshared scan
+        # region outside the target's coverage by construction — a
+        # cloud-size denominator taxes it for points the target scanner
+        # never saw, which is exactly how a replica-covering alias was
+        # measured outscoring the true pose (0.657 vs 0.537 tight) while
+        # aligning fewer of the points both scanners DID see (0.69 vs
+        # 0.76 co-visible).  The floor keeps a sliver pose (tiny
+        # co-visible patch, perfectly aligned) from gaming the ratio.
+        bm_cv, org_cv, cell_cv = overlap_mod.build_occupancy(
+            tgt.ds.points, tmask, length_threshold, cfg.overlap_grid)
+        covis = overlap_mod.approx_overlap_counts(
+            bm_cv, org_cv, cell_cv, Rr, tr, src.ds.points, smask,
+            cfg.overlap_grid)
         denom = jnp.maximum(jnp.minimum(src.ds.count, tgt.ds.count),
                             1).astype(jnp.float32)
-        ov_f = cnt_f.astype(jnp.float32) / denom
+        denom_k = jnp.maximum(covis.astype(jnp.float32),
+                              cfg.rescore_covis_floor * denom)
+        ov_f = cnt_f.astype(jnp.float32) / denom_k
         score_f = cfg.face_matches_weight * plane_frac[top_idx] \
             + (1.0 - cfg.face_matches_weight) * ov_f
         score_f = jnp.where(kvalid, score_f, -jnp.inf)
         bestk = jnp.argmax(score_f)
         best = top_idx[bestk]
-        refined_winner = (Rr[bestk], tr[bestk])
 
     success = jnp.any(sel_valid) & (matches.count > 0)
     Rb = jnp.where(success, sR[best], jnp.eye(3))
@@ -344,16 +378,12 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
     if cfg.enable_icp:
         # point-to-plane refinement of the winning coarse pose
         # (addition vs reference — it ships the raw hypothesis,
-        # plade.cpp:545-575).  The rescore stage already refined the
-        # winner; reuse it instead of a second ICP run.
-        if refined_winner is not None:
-            Ri, ti = refined_winner
-        else:
-            from .refine.icp import refine_icp
-            max_corr = cfg.icp_max_corr_factor * dsd / cfg.downsample_factor
-            Ri, ti, _, _ = refine_icp(
-                Rb, tb, src.ds.points, src.ds.mask,
-                tgt.ds.points, tgt.ds.normals, max_corr, cfg.icp_iters)
+        # plade.cpp:545-575)
+        from .refine.icp import refine_icp
+        max_corr = cfg.icp_max_corr_factor * dsd / cfg.downsample_factor
+        Ri, ti, _, _ = refine_icp(
+            Rb, tb, src.ds.points, src.ds.mask,
+            tgt.ds.points, tgt.ds.normals, max_corr, cfg.icp_iters)
         Rb = jnp.where(success, Ri, Rb)
         tb = jnp.where(success, ti, tb)
 

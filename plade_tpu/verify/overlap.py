@@ -149,8 +149,14 @@ def overlap_scores(R, t, cand_valid, src_points, src_count,
                    plane_frac=None, face_weight: float = 0.2,
                    exact_k: int = 16, grid: int = 256,
                    src_normals=None, tgt_normals=None,
-                   normal_cos: float = 0.0):
+                   normal_cos: float = 0.0, return_approx: bool = False):
     """(C,) overlap ratios with a provably exact final argmax.
+
+    ``return_approx=True`` additionally returns the phase-1 approximate
+    ratios for ALL candidates (a dilated superset of the exact test, so
+    an upper bound per candidate) — callers that need a full ranking
+    (e.g. pose-diverse rescore selection) use these, since unevaluated
+    candidates' exact entry is 0 by design.
 
     ``normal_cos > 0`` enables ORIENTED overlap: an exact-phase hit
     additionally requires a radius-neighbor whose normal agrees
@@ -236,4 +242,7 @@ def overlap_scores(R, t, cand_valid, src_points, src_count,
     init = (jnp.int32(0), jnp.zeros(C, jnp.float32),
             jnp.float32(-jnp.inf))
     _, out, _ = jax.lax.while_loop(cond, body, init)
-    return jnp.where(cand_valid, out, 0.0)
+    result = jnp.where(cand_valid, out, 0.0)
+    if return_approx:
+        return result, jnp.where(cand_valid, approx, 0.0)
+    return result

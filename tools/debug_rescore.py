@@ -125,47 +125,84 @@ def main():
         return sR, st, plane_frac, ov, score
 
     sR, st, plane_frac, ov, score = coarse(tgt, src)
-    K = cfg.rescore_top_k
-    topv, top_idx = jax.lax.top_k(score, K)
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    # pose-diverse selection (mirrors pipeline.py rescore)
+    sc_np = np.asarray(score)
+    sR_np = np.asarray(sR)
+    st_np = np.asarray(st)
+    lt_f = float(dp.length_threshold)
+    banned = np.zeros(sc_np.shape[0], bool)
+    top_idx = []
+    for _ in range(K):
+        avail = np.where((sc_np > -np.inf) & ~banned, sc_np, -np.inf)
+        i = int(np.argmax(avail))
+        if not np.isfinite(avail[i]):
+            break
+        top_idx.append(i)
+        dtr = np.linalg.norm(st_np - st_np[i], axis=-1)
+        tra = np.einsum("aij,ij->a", sR_np, sR_np[i])
+        near = (dtr < lt_f) & (tra > 1 + 2 * np.cos(2 * cfg.angle_threshold))
+        banned |= near
+        banned[i] = True
     top_idx = np.asarray(top_idx)
+    # where does the best GT-adjacent candidate rank among DISTINCT modes?
+    G_errs = np.array([rot_err_deg(R_gt, sR_np[c]) for c in
+                       range(sR_np.shape[0])])
+    G_terr = np.linalg.norm(st_np - t_gt[None], axis=1)
+    gmask = (G_errs < 5.0) & (G_terr < 0.5) & np.isfinite(sc_np)
+    if gmask.any():
+        print(f"best near-GT coarse score {sc_np[gmask].max():.4f} "
+              f"(overall max {np.nanmax(sc_np[np.isfinite(sc_np)]):.4f}); "
+              f"in diverse top-{K}: "
+              f"{bool(gmask[top_idx].any())}")
+    else:
+        print("NO near-GT candidate among selected at all")
 
     @jax.jit
     def rescore(Rk, tk, tgt, src):
-        Rr, tr, rmse, ninl = jax.vmap(
-            lambda R0, t0: refine_icp(
-                R0, t0, src.ds.points, src.ds.mask,
-                tgt.ds.points, tgt.ds.normals, dsd,
-                cfg.rescore_icp_iters))(Rk, tk)
-        r_fine = cfg.rescore_radius_factor * dsd / cfg.downsample_factor
-        cnt_f = overlap_mod.exact_overlap_counts(
-            Rr, tr, src.ds.points, src.ds.mask, tgt.ds.points,
-            r_fine * r_fine,
-            src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
-            normal_cos=cfg.overlap_normal_cos)
+        Rr, tr = Rk, tk
+        rmse = jnp.zeros(Rk.shape[0])
+        ninl = jnp.zeros(Rk.shape[0], jnp.int32)
         denom = jnp.maximum(jnp.minimum(src.ds.count, tgt.ds.count),
                             1).astype(jnp.float32)
-        return Rr, tr, rmse, ninl, cnt_f.astype(jnp.float32) / denom
+        bm, org, cell = overlap_mod.build_occupancy(
+            tgt.ds.points, tgt.ds.mask, lt, cfg.overlap_grid)
+        covis = overlap_mod.approx_overlap_counts(
+            bm, org, cell, Rr, tr, src.ds.points, src.ds.mask,
+            cfg.overlap_grid).astype(jnp.float32) / denom
+        variants = {}
+        for rf in (2.0, 1.5):
+            for nc in (0.7071, 0.866):
+                r_fine = rf * dsd / cfg.downsample_factor
+                cnt = overlap_mod.exact_overlap_counts(
+                    Rr, tr, src.ds.points, src.ds.mask, tgt.ds.points,
+                    r_fine * r_fine,
+                    src_normals=src.ds.normals, tgt_normals=tgt.ds.normals,
+                    normal_cos=nc)
+                variants[(rf, nc)] = cnt.astype(jnp.float32) / denom
+        return Rr, tr, rmse, ninl, covis, variants
 
-    Rk = sR[jnp.asarray(top_idx)]
-    tk = st[jnp.asarray(top_idx)]
-    Rr, tr, rmse, ninl, ov_f = rescore(Rk, tk, tgt, src)
-    Rr, tr, rmse, ninl, ov_f = (np.asarray(Rr), np.asarray(tr),
-                                np.asarray(rmse), np.asarray(ninl),
-                                np.asarray(ov_f))
+    Rk = jnp.asarray(sR_np[top_idx])
+    tk = jnp.asarray(st_np[top_idx])
+    Rr, tr, rmse, ninl, covis, variants = rescore(Rk, tk, tgt, src)
+    Rr, tr, rmse, ninl, covis = (np.asarray(Rr), np.asarray(tr),
+                                 np.asarray(rmse), np.asarray(ninl),
+                                 np.asarray(covis))
+    variants = {k2: np.asarray(v) for k2, v in variants.items()}
     Rk, tk = np.asarray(Rk), np.asarray(tk)
     pf = np.asarray(plane_frac)[top_idx]
-    ovn = np.asarray(ov)[top_idx]
-    for k in range(K):
-        e0 = rot_err_deg(R_gt, Rk[k])
-        te0 = float(np.linalg.norm(tk[k] - t_gt))
+    floor = cfg.rescore_covis_floor
+    for k in range(len(top_idx)):
         e1 = rot_err_deg(R_gt, Rr[k])
         te1 = float(np.linalg.norm(tr[k] - t_gt))
-        fin = cfg.face_matches_weight * pf[k] \
-            + (1 - cfg.face_matches_weight) * ov_f[k]
-        print(f"cand[{k}] coarse: rot {e0:7.2f} trans {te0:6.3f} "
-              f"frac {pf[k]:.3f} ov {ovn[k]:.4f} | post-ICP: rot {e1:7.2f} "
-              f"trans {te1:6.3f} rmse {rmse[k]:.4f} inl {ninl[k]:6d} "
-              f"ov_f {ov_f[k]:.4f} final {fin:.4f}")
+        cells = []
+        for (rf, nc), v in variants.items():
+            ovk = v[k] / max(covis[k], floor)
+            fin = 0.2 * pf[k] + 0.8 * ovk
+            cells.append(f"rf{rf}/nc{nc:.2f}: {v[k]:.3f}->{ovk:.3f} "
+                         f"fin {fin:.3f}")
+        print(f"cand[{k}] rot {e1:7.2f} trans {te1:6.3f} frac {pf[k]:.3f} "
+              f"covis {covis[k]:.3f} | " + " | ".join(cells))
 
 
 if __name__ == "__main__":
