@@ -122,10 +122,11 @@ class PladeConfig:
     bitmap_grid: int = 64
     #: CC label-propagation iterations.  Each iteration is one 3x3 min
     #: stencil + four pointer jumps (each jump squares the propagation
-    #: distance); 8 saturates a 64^2 grid for blob-like components.  The
-    #: sequential iteration count is the trim's dominant on-device
-    #: latency — raise for pathologically serpentine supports.
-    bitmap_cc_iters: int = 8
+    #: distance); 6 saturates a 64^2 grid for blob-like components
+    #: (measured: identical extraction output vs 8, ~10% less round
+    #: latency).  The sequential iteration count is the trim's dominant
+    #: on-device latency — raise for pathologically serpentine supports.
+    bitmap_cc_iters: int = 6
 
     # ----- line confidence (plade.cpp:144-162, util.h:389-426) -----
     #: cull lines whose confidence (min over the two supporting planes of

@@ -598,6 +598,19 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         ban_d = state.ban_d.at[ban_idx].set(ban_src_d, mode="drop")
         ban_loose = state.ban_loose.at[ban_idx].set(trim_fail, mode="drop")
         ban_count = state.ban_count + jnp.sum(to_ban.astype(jnp.int32))
+        # a trim-failed slot bans its PRE-refit fit too: fresh draws of the
+        # fragmented structure resemble the raw fit, not the refit plane
+        # the first push recorded, and each escapee burns an accept lane
+        # on the same trim outcome
+        tf2_rank = jnp.cumsum(trim_fail_slot.astype(jnp.int32)) \
+            - trim_fail_slot
+        ban_idx2 = jnp.where(trim_fail_slot,
+                             jnp.mod(ban_count + tf2_rank, K_ban), K_ban)
+        ban_n = ban_n.at[ban_idx2].set(sel_n, mode="drop")
+        ban_d = ban_d.at[ban_idx2].set(sel_d, mode="drop")
+        ban_loose = ban_loose.at[ban_idx2].set(
+            jnp.ones_like(trim_fail_slot), mode="drop")
+        ban_count = ban_count + jnp.sum(trim_fail_slot.astype(jnp.int32))
 
         # orient normals along the mean support-point normal (intended
         # correct_normal semantics; see module docstring)

@@ -61,16 +61,24 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
     tt = jnp.sum(td * td, axis=-1)
     k = min(per_query, T)
 
+    k_over = min(2 * k + 4, T)
+
     def body(_, qblock):
         qq = jnp.sum(qblock * qblock, axis=-1, keepdims=True)
         d2 = qq - 2.0 * jnp.dot(qblock, td.T,
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST) \
             + tt[None, :]
-        # recall_target=1.0: exact top-k (the reference's fixed-radius
-        # search is exact, util.cpp:115; approximate recall would silently
-        # drop true radius matches)
-        vals, idx = jax.lax.approx_min_k(d2, k, recall_target=1.0)
+        # oversample 2k+4 at the sort unit's default recall and keep the
+        # exact k smallest of those: a true entry is missed only if it
+        # falls outside the approximate top-(2k+4), driving per-entry
+        # recall to ~1 (the reference's fixed-radius search is exact,
+        # util.cpp:115).  recall_target=1.0 instead lowers to a full
+        # per-row sort — the repo's measured 10x trap (knn/bruteforce.py)
+        vals_o, idx_o = jax.lax.approx_min_k(d2, k_over)
+        order = jnp.argsort(vals_o, axis=-1)[:, :k]
+        vals = jnp.take_along_axis(vals_o, order, axis=1)
+        idx = jnp.take_along_axis(idx_o, order, axis=1)
         return None, (vals, idx)
 
     blocks = qd.reshape(nblocks, block, 8)
@@ -121,9 +129,17 @@ class Clusters(NamedTuple):
 
 def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
                   dist_tol, euler_tol, max_clusters: int,
-                  chunk: int = 1024) -> Clusters:
+                  chunk: int = 1024, small: int = 4096) -> Clusters:
     """Exact single-linkage pose clustering over the 6-D (t, euler)
     embedding, in fixed shape.
+
+    The padded hypothesis buffer is usually far larger than the live
+    match count (valid matches are compacted to the FRONT by
+    match_descriptors), and each sweep pays O(H^2) distance blocks — so
+    when the live count fits in the first ``small`` rows, a ``lax.cond``
+    dispatches to an identical program over that prefix (64x fewer
+    distance FLOPs at the default shapes).  Representatives and labels
+    are global row indices either way.
 
     Matches the reference semantics (ClusterTransformation +
     EnforceSimilarity, util.cpp:1232-1277): hypotheses are linked when
@@ -144,6 +160,24 @@ def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
     — exact connected components, no grid-boundary splits.  Dense clumps
     converge in 2-3 sweeps.
     """
+    H = R.shape[0]
+    if H > small:
+        count = jnp.sum(valid.astype(jnp.int32))
+        return jax.lax.cond(
+            count <= small,
+            lambda _: _cluster_impl(R[:small], t[:small], valid[:small],
+                                    dist_tol, euler_tol, max_clusters,
+                                    chunk),
+            lambda _: _cluster_impl(R, t, valid, dist_tol, euler_tol,
+                                    max_clusters, chunk),
+            None)
+    return _cluster_impl(R, t, valid, dist_tol, euler_tol, max_clusters,
+                         chunk)
+
+
+def _cluster_impl(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
+                  dist_tol, euler_tol, max_clusters: int,
+                  chunk: int = 1024) -> Clusters:
     H = R.shape[0]
     # the packed scatter-argmin below stores the member index in the low 16
     # bits — a config raising max_matches past 2^16 would silently corrupt
