@@ -50,8 +50,11 @@ def test_small_overlap_fullscale_scan_pair():
     from plade_tpu.io.synthetic import make_scan_sequence
     from plade_tpu.pipeline import register_clouds
 
+    # step/radius calibrated so the measured shared fraction below is
+    # ~0.31 (the 3.4 step used before round 4 produced 0.52 — NOT a
+    # small-overlap scene; this test had never actually run on TPU)
     rng = np.random.default_rng(21)
-    radius, step = 3.2, 3.4
+    radius, step = 3.2, 4.0
     scans, poses = make_scan_sequence(
         rng, n_scans=2, n_points=94000, overlap_radius=radius, step=step,
         n_rooms=4, n_per_plane=22000, noise=0.015, size=4.0, extra_planes=4,

@@ -113,26 +113,33 @@ def run_tpu_sweep():
     base = int.from_bytes(os.urandom(4), "little") % (1 << 20)
     rows = []
     for B in (1, 8, 16, 32):
-        vfn = jax.jit(jax.vmap(build_register_device_fn(cfg, pad)))
-        tgt_b = jax.tree.map(lambda *x: jnp.stack(x),
-                             *[p[0] for p in pairs[:B]])
-        src_b = jax.tree.map(lambda *x: jnp.stack(x),
-                             *[p[1] for p in pairs[:B]])
-        r = vfn(tgt_b, src_b, jax.random.split(jax.random.PRNGKey(0), B))
-        float(np.asarray(r.transform).sum())
-        runs = 3
-        t0 = time.perf_counter()
-        nok = 0
-        for i in range(runs):
-            r = vfn(tgt_b, src_b, jax.random.split(
-                jax.random.PRNGKey(base + B * 100 + i), B))
+        try:
+            vfn = jax.jit(jax.vmap(build_register_device_fn(cfg, pad)))
+            tgt_b = jax.tree.map(lambda *x: jnp.stack(x),
+                                 *[p[0] for p in pairs[:B]])
+            src_b = jax.tree.map(lambda *x: jnp.stack(x),
+                                 *[p[1] for p in pairs[:B]])
+            r = vfn(tgt_b, src_b, jax.random.split(jax.random.PRNGKey(0), B))
             float(np.asarray(r.transform).sum())
-            nok += int(np.asarray(r.success).sum())
-        dt = (time.perf_counter() - t0) / (runs * B)
-        rows.append(dict(B=B, s_per_pair=dt, pairs_per_s=1.0 / dt,
-                         success=f"{nok}/{runs * B}"))
-        print(f"B={B:3d}: {dt:.3f} s/pair {1/dt:.3f} pairs/s "
-              f"success {nok}/{runs*B}", flush=True)
+            runs = 3
+            t0 = time.perf_counter()
+            nok = 0
+            for i in range(runs):
+                r = vfn(tgt_b, src_b, jax.random.split(
+                    jax.random.PRNGKey(base + B * 100 + i), B))
+                float(np.asarray(r.transform).sum())
+                nok += int(np.asarray(r.success).sum())
+            dt = (time.perf_counter() - t0) / (runs * B)
+            rows.append(dict(B=B, s_per_pair=dt, pairs_per_s=1.0 / dt,
+                             success=f"{nok}/{runs * B}"))
+            print(f"B={B:3d}: {dt:.3f} s/pair {1/dt:.3f} pairs/s "
+                  f"success {nok}/{runs*B}", flush=True)
+        except Exception as e:  # HBM limit on the single 16G chip
+            msg = "OOM" if "RESOURCE_EXHAUSTED" in str(e) or \
+                "memory" in str(e).lower() else f"error: {e!r}"[:60]
+            rows.append(dict(B=B, s_per_pair=None, pairs_per_s=None,
+                             success=msg))
+            print(f"B={B:3d}: {msg}", flush=True)
     return rows
 
 
@@ -194,8 +201,19 @@ def main():
                 "hard-synced)\n\n")
         f.write("| B | s/pair | pairs/s | success |\n|---|---|---|---|\n")
         for r in trows:
-            f.write(f"| {r['B']} | {r['s_per_pair']:.3f} | "
-                    f"{r['pairs_per_s']:.3f} | {r['success']} |\n")
+            if r["s_per_pair"] is None:
+                f.write(f"| {r['B']} | - | - | {r['success']} |\n")
+            else:
+                f.write(f"| {r['B']} | {r['s_per_pair']:.3f} | "
+                        f"{r['pairs_per_s']:.3f} | {r['success']} |\n")
+        f.write("\nBatching is near-flat on one chip: the pipeline is\n"
+                "latency-limited (PROFILE.md) and the batched while_loops\n"
+                "run to the slowest lane's round count, so vmap neither\n"
+                "helps nor hurts much; B=32 exceeds the single chip's\n"
+                "16G HBM at the 131k-point padding.  Production scaling\n"
+                "is the pairs axis over a MESH (each pairs-slot owns a\n"
+                "chip and its own sequential depth), which the virtual\n"
+                "sweep above exercises end-to-end.\n")
         f.write("\n## Two-process jax.distributed (localhost DCN)\n\n")
         f.write(f"2-process group formation + sharded registration step: "
                 f"**{two['wall_s']:.1f} s wall-clock, ok={two['ok']}** "
