@@ -141,6 +141,10 @@ class _State(NamedTuple):
     pool_valid: jnp.ndarray    # (C,) bool
     pool_dormant: jnp.ndarray  # (C,) bool — exact-debunked at this support
     # level; retained for the next halving instead of being re-drawn
+    pool_exact: jnp.ndarray    # (C,) int32 — last exact count of a
+    # dormant entry (0 when never exactly checked); upper-bounds what any
+    # dormant plane can contribute, which lets halving JUMP past levels
+    # nothing can satisfy
     level_probs: jnp.ndarray   # (L,) f32 — 3-point sampling level weights
     ban_n: jnp.ndarray         # (K, 3) — trim-failed planes (ring buffer)
     ban_d: jnp.ndarray         # (K,)
@@ -402,6 +406,8 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         all_ok = jnp.concatenate([cand_ok, state.pool_valid], axis=0)
         all_dormant = jnp.concatenate(
             [jnp.zeros((S,), jnp.bool_), state.pool_dormant])
+        all_exact = jnp.concatenate(
+            [jnp.zeros((S,), jnp.int32), state.pool_exact])
         # bans clear lingering live pool copies too — but never a dormant
         # entry: debunked lanes are banned from RE-DRAWING, while their
         # dormant pool original must survive for the next halving.  NB the
@@ -434,6 +440,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         pool_d = all_d[top_idx]
         pool_valid = all_ok[top_idx] & (top_counts > 0)
         pool_dormant = all_dormant[top_idx]
+        pool_exact = all_exact[top_idx]
 
         drawn = state.drawn + jnp.sum(cand_drawn.astype(jnp.float32))
 
@@ -640,6 +647,8 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             pool_valid[lane_sel] & ~drop, mode="drop")
         pool_dormant = pool_dormant.at[lane_sel].set(
             pool_dormant[lane_sel] | debunked, mode="drop")
+        pool_exact = pool_exact.at[lane_sel].set(
+            jnp.where(debunked, exact, pool_exact[lane_sel]), mode="drop")
 
         # drawn decays per acceptance to reflect point removal; sequential
         # against a SHRINKING free count, matching the reference's
@@ -698,8 +707,23 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         need_more = num_planes < min_planes
         can_halve = (min_support > floor_support) & (state.trials < max_trials)
         halve = exhausted & need_more & can_halve
-        new_support = jnp.where(
-            halve, jnp.maximum(min_support // 2, floor_support), min_support)
+        # LEVEL JUMP: with ``drawn`` kept across halvings (below), the
+        # current evidence may already exclude several of the next levels
+        # — a level L is skippable when (1-L/(4N))^drawn <= overlook AND
+        # no dormant plane's recorded exact count reaches L.  Jumping
+        # straight past skippable levels saves the 2-round exhaustion
+        # streak each would otherwise cost (measured: the polyhedron
+        # cloud burned ~6 rounds walking 10000->1250 one level at a time)
+        d_max = jnp.max(jnp.where(pool_valid & pool_dormant, pool_exact, 0))
+        new_support = jnp.maximum(min_support // 2, floor_support)
+        for _ in range(6):
+            skippable = (log_pfail(new_support.astype(jnp.float32), drawn)
+                         <= log_overlook) \
+                & (new_support > d_max) & (new_support > floor_support)
+            new_support = jnp.where(
+                halve & skippable,
+                jnp.maximum(new_support // 2, floor_support), new_support)
+        new_support = jnp.where(halve, new_support, min_support)
         # each halving wakes dormant planes and clears bans for re-checking
         # at the lower support threshold.  DELIBERATE DEVIATION from the
         # reference's full re-run (which restarts its draw counter from
@@ -735,6 +759,8 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             pool_d=pool_d,
             pool_valid=pool_valid,
             pool_dormant=pool_dormant,
+            pool_exact=jnp.where(halve, jnp.zeros_like(pool_exact),
+                                 pool_exact),
             level_probs=new_level_probs,
             ban_n=ban_n,
             ban_d=ban_d,
@@ -786,6 +812,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             pool_d=jnp.zeros((C,), jnp.float32),
             pool_valid=jnp.zeros((C,), jnp.bool_),
             pool_dormant=jnp.zeros((C,), jnp.bool_),
+            pool_exact=jnp.zeros((C,), jnp.int32),
             level_probs=jnp.full((L,), 1.0 / L, jnp.float32),
             # ban ring must outlast many rounds of wide-lane debunking:
             # at A_CHK=8 debunks/round a 32-ring wraps in ~4 rounds and
