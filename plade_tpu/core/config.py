@@ -142,6 +142,18 @@ class PladeConfig:
     line_conf_interval: float = 0.5
     line_conf_samples: int = 32
 
+    # ----- degraded 6-D descriptor families (feature flag) -----
+    #: also match the 22-21 / 22-12 degraded 6-D families: target 2-2
+    #: pairs emit the reference's 4 pseudo-plane variants each
+    #: (util.cpp:830-919) and source 2-2 pairs emit 2-variant degraded
+    #: QUERIES against them.  In the reference these families are built
+    #: but only ever queried from dead boundary-line code
+    #: (plade.cpp:176,384), so the flag is OFF by default (reference-live
+    #: semantics); enable on plane-poor scenes where a line's support
+    #: plane may be unextracted in one cloud.
+    enable_degraded_families: bool = False
+    max_degraded_matches: int = 8192
+
     # ----- average spacing (util.cpp:1619-1648) -----
     spacing_k: int = 6
     spacing_samples: int = 10000

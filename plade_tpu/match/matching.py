@@ -81,7 +81,7 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
         idx = jnp.take_along_axis(idx_o, order, axis=1)
         return None, (vals, idx)
 
-    blocks = qd.reshape(nblocks, block, 8)
+    blocks = qd.reshape(nblocks, block, qd.shape[-1])
     _, (vals, idx) = jax.lax.scan(body, None, blocks)
     vals = vals.reshape(nblocks * block, k)[:Q]
     idx = idx.reshape(nblocks * block, k)[:Q]

@@ -207,11 +207,35 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
     matches = matching.match_descriptors(
         src_desc, tgt_desc, cfg.descriptor_match_radius, cfg.max_matches)
     R, t = matching.hypothesis_poses(src_desc, tgt_desc, matches)
+    hyp_valid = matches.valid
+
+    if cfg.enable_degraded_families:
+        # 22-21 / 22-12 degraded 6-D families (flag; see PladeConfig):
+        # extra hypothesis sources for pairs whose plane correspondence
+        # is broken in one cloud.  Their matches only ADD hypotheses —
+        # the 2-2 path above is untouched
+        from .descriptors.pairlines import degraded_descriptors
+        for fam in ("2221", "2212"):
+            tgt_d6 = degraded_descriptors(
+                tgt.lines, tgt.planes.coeffs[:, :3], scale,
+                cfg.max_target_pairs, ordered=True, min_angle_cos=cos10,
+                family=fam, pad_value=-1e6)
+            src_d6 = degraded_descriptors(
+                src.lines, src.planes.coeffs[:, :3], scale,
+                cfg.max_query_pairs, ordered=False, min_angle_cos=cos10,
+                family=fam, pad_value=1e6)
+            m6 = matching.match_descriptors(
+                src_d6, tgt_d6, cfg.descriptor_match_radius,
+                cfg.max_degraded_matches)
+            R6, t6 = matching.hypothesis_poses(src_d6, tgt_d6, m6)
+            R = jnp.concatenate([R, R6], axis=0)
+            t = jnp.concatenate([t, t6], axis=0)
+            hyp_valid = jnp.concatenate([hyp_valid, m6.valid], axis=0)
 
     # cluster at half the length/angle thresholds (util.cpp:331)
     euler_tol = math.sqrt(cfg.angle_threshold / 2.0)
     clusters = matching.cluster_poses(
-        R, t, matches.valid, length_threshold / 2.0, euler_tol,
+        R, t, hyp_valid, length_threshold / 2.0, euler_tol,
         cfg.max_pose_clusters)
     cR = R[clusters.rep]
     ct = t[clusters.rep]
