@@ -161,16 +161,22 @@ def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
     converge in 2-3 sweeps.
     """
     H = R.shape[0]
-    if H > small:
+    tiers = [s for s in (small, 4 * small) if s < H]
+    if tiers:
         count = jnp.sum(valid.astype(jnp.int32))
-        return jax.lax.cond(
-            count <= small,
-            lambda _: _cluster_impl(R[:small], t[:small], valid[:small],
-                                    dist_tol, euler_tol, max_clusters,
-                                    chunk),
-            lambda _: _cluster_impl(R, t, valid, dist_tol, euler_tol,
-                                    max_clusters, chunk),
-            None)
+
+        def impl_at(s):
+            return lambda _: _cluster_impl(
+                R[:s], t[:s], valid[:s], dist_tol, euler_tol,
+                max_clusters, chunk)
+
+        expr = lambda _: _cluster_impl(R, t, valid, dist_tol, euler_tol,
+                                       max_clusters, chunk)
+        for s in reversed(tiers):
+            expr = (lambda s=s, inner=expr: (
+                lambda _: jax.lax.cond(count <= s, impl_at(s), inner,
+                                       None)))()
+        return expr(None)
     return _cluster_impl(R, t, valid, dist_tol, euler_tol, max_clusters,
                          chunk)
 
