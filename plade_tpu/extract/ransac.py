@@ -205,48 +205,50 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
     occ_counts = jax.lax.platform_dependent(ij[::t_sub], in_sub,
                                             tpu=_hist_mxu,
                                             default=_hist_scatter)
-    occ = (occ_counts > 0).reshape(grid, grid)
 
-    def close(bitmap):
-        # morphological close with the cross structuring element
-        # (DilateCross/ErodeCross, BitmapPrimitiveShape.cpp:133-141)
+    def _cc_jnp(occ_counts):
+        # HLO fallback (CPU tests, dry-runs): close + 8-neighbor
+        # min-label propagation with pointer jumps (each jump squares the
+        # effective propagation distance)
+        occ = (occ_counts > 0).reshape(grid, grid)
+
         def cross(b, op, pad_val):
+            # morphological close with the cross structuring element
+            # (DilateCross/ErodeCross, BitmapPrimitiveShape.cpp:133-141)
             p = jnp.pad(b, 1, constant_values=pad_val)
             return op(op(op(op(b, p[:-2, 1:-1]), p[2:, 1:-1]),
                          p[1:-1, :-2]), p[1:-1, 2:])
-        dil = cross(bitmap, jnp.logical_or, False)
-        return cross(dil, jnp.logical_and, True) | bitmap
 
-    closed = close(occ)
-    # connected components: 8-neighbor min-label propagation accelerated
-    # with pointer jumping (labels <- labels[labels]), which squares the
-    # effective propagation distance per iteration — cc_iters=16 saturates
-    # the default 64^2 grid with margin vs ~2*grid for pure local stencils
-    # (the former 192-step sequential chain dominated extraction)
-    idx = jnp.arange(grid * grid, dtype=jnp.int32).reshape(grid, grid)
-    inf_label = jnp.int32(grid * grid)
-    labels = jnp.where(closed, idx, inf_label)
+        closed = cross(cross(occ, jnp.logical_or, False),
+                       jnp.logical_and, True) | occ
+        idx = jnp.arange(grid * grid, dtype=jnp.int32).reshape(grid, grid)
+        inf_label = jnp.int32(grid * grid)
+        labels0 = jnp.where(closed, idx, inf_label)
 
-    def prop(_, lab):
-        # 8-neighbor min = separable 3x3 box min (rows then cols)
-        p = jnp.pad(lab, ((1, 1), (0, 0)), constant_values=inf_label)
-        m = jnp.minimum(jnp.minimum(p[:-2], p[1:-1]), p[2:])
-        p = jnp.pad(m, ((0, 0), (1, 1)), constant_values=inf_label)
-        m = jnp.minimum(jnp.minimum(p[:, :-2], p[:, 1:-1]), p[:, 2:])
-        m = jnp.where(closed, m, inf_label)
-        # pointer jumps: follow the representative chain — each jump
-        # SQUARES the effective propagation distance, and a (grid^2,)
-        # gather is far cheaper than another stencil iteration (the
-        # sequential iteration count, not per-iteration work, dominates
-        # this loop on-device)
-        flat = m.reshape(-1)
-        for _ in range(4):
-            safe = jnp.minimum(flat, grid * grid - 1)
-            flat = jnp.minimum(
-                flat, jnp.where(flat < inf_label, flat[safe], inf_label))
-        return flat.reshape(grid, grid)
+        def prop(_, lab):
+            p = jnp.pad(lab, ((1, 1), (0, 0)), constant_values=inf_label)
+            m = jnp.minimum(jnp.minimum(p[:-2], p[1:-1]), p[2:])
+            p = jnp.pad(m, ((0, 0), (1, 1)), constant_values=inf_label)
+            m = jnp.minimum(jnp.minimum(p[:, :-2], p[:, 1:-1]), p[:, 2:])
+            m = jnp.where(closed, m, inf_label)
+            flat = m.reshape(-1)
+            for _ in range(4):
+                safe = jnp.minimum(flat, grid * grid - 1)
+                flat = jnp.minimum(
+                    flat, jnp.where(flat < inf_label, flat[safe], inf_label))
+            return flat.reshape(grid, grid)
 
-    labels = jax.lax.fori_loop(0, cc_iters, prop, labels)
+        return jax.lax.fori_loop(0, cc_iters, prop, labels0)
+
+    def _cc_pallas(occ_counts):
+        # one fused kernel: the stitched-HLO close+CC was ~80 sequential
+        # tiny-grid ops per round and ~60% of extraction wall time
+        # (kernels/cc.py); in-VMEM iterations make pointer jumps moot
+        from ..kernels.cc import close_and_label
+        return close_and_label(occ_counts.reshape(grid, grid), iters=256)
+
+    labels = jax.lax.platform_dependent(occ_counts, tpu=_cc_pallas,
+                                        default=_cc_jnp)
     # component sizes: per-cell occupancy (already histogrammed) summed by
     # the cell's component label — a (cells x cells) eq-reduce, never a
     # per-point pass

@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: morphological close + connected-component labeling.
+
+The RANSAC trim's largest-connected-component step (extract/ransac.py,
+mirroring BitmapPrimitiveShape::ConnectedComponent,
+code/3rd_party/ransac/BitmapPrimitiveShape.cpp:97-271) runs on a tiny
+64x64 occupancy grid — but as stitched HLOs it is ~80 SEQUENTIAL ops per
+greedy round (pad/min stencils, pointer-jump gathers), and op-issue
+latency made it ~60% of the whole extraction stage (measured by
+PLADE_ABLATE=trim: 297 -> 114 ms per cloud).  Inside one Pallas kernel
+the grid lives in VMEM and hundreds of stencil iterations cost
+microseconds, so the close + CC labeling collapses into a single op.
+
+The label propagation here is a plain 8-neighbor min stencil iterated
+``iters`` times (default 256 — full coverage for any component whose
+internal path length fits, far past realistic plane supports; the HLO
+path's pointer jumps are unnecessary when iterations are this cheap).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(G: int, iters: int):
+    INF = G * G  # plain int: a jnp scalar here would be captured as a
+    # trace-time constant, which pallas_call rejects
+
+    def kernel(occ_ref, lab_ref):
+        # everything stays int32: Mosaic on this chip rejects i1 (bool)
+        # vector ops ("Unsupported target bitwidth for truncation"), so
+        # masks are 0/1 integers combined with min/max and arithmetic
+        # selects
+        occ = occ_ref[...]
+        filled = jnp.minimum(occ, 1)                      # 0/1 (G, G)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        row_lo = jnp.minimum(rows, 1)                     # 0 on row 0
+        row_hi = jnp.minimum(G - 1 - rows, 1)
+        col_lo = jnp.minimum(cols, 1)
+        col_hi = jnp.minimum(G - 1 - cols, 1)
+
+        def sh(x, dr, dc, fill):
+            # roll only the shifted axis (a zero-shift component lowers
+            # to a 0-size slice, which Mosaic also rejects), then patch
+            # the wrapped edge with ``fill`` via arithmetic select
+            y = x
+            if dr:
+                y = jnp.roll(y, dr, axis=0)
+                edge = row_lo if dr == 1 else row_hi      # 0 at the wrap
+                y = edge * y + (1 - edge) * fill
+            if dc:
+                y = jnp.roll(y, dc, axis=1)
+                edge = col_lo if dc == 1 else col_hi
+                y = edge * y + (1 - edge) * fill
+            return y
+
+        # morphological close with the cross structuring element
+        # (DilateCross/ErodeCross, BitmapPrimitiveShape.cpp:133-141)
+        dil = jnp.maximum(jnp.maximum(
+            jnp.maximum(filled, sh(filled, 1, 0, 0)),
+            jnp.maximum(sh(filled, -1, 0, 0), sh(filled, 0, 1, 0))),
+            sh(filled, 0, -1, 0))
+        ero = jnp.minimum(jnp.minimum(
+            jnp.minimum(dil, sh(dil, 1, 0, 1)),
+            jnp.minimum(sh(dil, -1, 0, 1), sh(dil, 0, 1, 1))),
+            sh(dil, 0, -1, 1))
+        closed = jnp.maximum(ero, filled)                 # 0/1
+
+        lab0 = closed * (rows * G + cols) + (1 - closed) * INF
+
+        def body(_, lab):
+            # separable 3x3 box min == 8-neighbor + self
+            m = jnp.minimum(lab, jnp.minimum(sh(lab, 1, 0, INF),
+                                             sh(lab, -1, 0, INF)))
+            m = jnp.minimum(m, jnp.minimum(sh(m, 0, 1, INF),
+                                           sh(m, 0, -1, INF)))
+            return closed * m + (1 - closed) * INF
+
+        lab_ref[...] = jax.lax.fori_loop(0, iters, body, lab0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def close_and_label(occ_counts: jnp.ndarray, iters: int = 256,
+                    interpret: bool = False) -> jnp.ndarray:
+    """(G, G) int32 occupancy counts -> (G, G) int32 component labels.
+
+    A cell's label is the minimum flat index of its 8-connected component
+    after the morphological close; non-component cells get G*G.
+    """
+    G = occ_counts.shape[0]
+    return pl.pallas_call(
+        _make_kernel(G, iters),
+        in_specs=[pl.BlockSpec((G, G), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, G), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, G), jnp.int32),
+        interpret=interpret,
+    )(occ_counts.astype(jnp.int32))

@@ -153,3 +153,49 @@ def test_select_planes_auto_tune(rng):
     # remapped point ids stay consistent
     pp = np.asarray(sel.point_plane)
     assert pp.max() < int(sel.count)
+
+
+def test_cc_kernel_matches_flood_fill(rng):
+    """kernels/cc.py close_and_label (interpret mode) against a numpy
+    flood fill on random occupancy grids: same components after the
+    morphological close, labels = component-min flat index."""
+    from collections import deque
+
+    from plade_tpu.kernels.cc import close_and_label
+
+    G = 64
+    for trial in range(3):
+        occ = (rng.random((G, G)) < 0.25).astype(np.int32)
+        # reference close (cross): dilate then erode, union original
+        def cross(b, op, pad_val):
+            p = np.pad(b, 1, constant_values=pad_val)
+            return op.reduce([b, p[:-2, 1:-1], p[2:, 1:-1],
+                              p[1:-1, :-2], p[1:-1, 2:]])
+        dil = cross(occ > 0, np.logical_or, False)
+        closed = cross(dil, np.logical_and, True) | (occ > 0)
+
+        expect = np.full((G, G), G * G, np.int32)
+        seen = np.zeros((G, G), bool)
+        for r in range(G):
+            for c in range(G):
+                if not closed[r, c] or seen[r, c]:
+                    continue
+                comp = []
+                dq = deque([(r, c)])
+                seen[r, c] = True
+                while dq:
+                    y, x = dq.popleft()
+                    comp.append((y, x))
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            yy, xx = y + dy, x + dx
+                            if 0 <= yy < G and 0 <= xx < G \
+                                    and closed[yy, xx] and not seen[yy, xx]:
+                                seen[yy, xx] = True
+                                dq.append((yy, xx))
+                m = min(y * G + x for y, x in comp)
+                for y, x in comp:
+                    expect[y, x] = m
+        got = np.asarray(close_and_label(jnp.asarray(occ), iters=256,
+                                         interpret=True))
+        np.testing.assert_array_equal(got, expect)
