@@ -255,7 +255,18 @@ def _run_batch(pairs_file, result_file, cfg, seed, device_batch,
             if (target, source) in done:
                 T, ok = done[(target, source)]
             elif results_map is not None:
-                T, ok = results_map[(target, source)]
+                outcome = results_map[(target, source)]
+                T, ok = outcome.transform, outcome.success
+                # truncation diagnostics per pair (mirrors the info dict
+                # of the single-pair path; PairOutcome carries them so
+                # batch results are not silently degraded)
+                if outcome.cloud_capped or outcome.match_saturated \
+                        or outcome.pen_overflow:
+                    print(f"pair ({target}, {source}): "
+                          f"cloud_capped={outcome.cloud_capped} "
+                          f"match_saturated={outcome.match_saturated} "
+                          f"pen_overflow={outcome.pen_overflow}",
+                          file=sys.stderr)
                 if resume:
                     _append_state(state_file, target, source, T, ok)
             else:
@@ -308,8 +319,7 @@ def _register_batch_device(pairs, cfg, seed):
             tpts, tnrm = read_ply(target)
             spts, snrm = read_ply(source)
         clouds.append((tpts, tnrm, spts, snrm))
-    return [(r.transform, r.success)
-            for r in register_array_pairs(clouds, cfg, seed)]
+    return register_array_pairs(clouds, cfg, seed)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,14 @@ class PladeConfig:
     max_candidate_results: int = 200
     #: fixed radius in descriptor space (util.cpp:115)
     descriptor_match_radius: float = 0.04
+    #: per-query neighbor cap in the descriptor radius match.  The
+    #: reference's fixed-radius search is unbounded-k (util.cpp:115,
+    #: maxNeighbor=0 from plade.cpp:55); the TPU match keeps the nearest
+    #: ``match_per_query`` per query row and counts rows whose cap
+    #: filled (``match_saturated``).  128 measures zero saturation on
+    #: the flagship + eval scenes (r4's 64 dropped hits on 29 rows of
+    #: the polyhedron pair); raise if match_saturated reports nonzero.
+    match_per_query: int = 128
     #: line pairs must differ in direction by more than this (plade.cpp:513)
     line_pair_min_angle: float = 10.0 / 180.0 * math.pi
     #: plane pairs more parallel than this produce no line (util.cpp:634)
@@ -63,6 +71,20 @@ class PladeConfig:
     ransac_init_min_support: int = 10000
     ransac_min_allowed_support: int = 200
     ransac_max_trials: int = 10
+    #: auto-mode extraction starts directly at the floor support instead
+    #: of walking the reference's 10000 -> 200 halving cascade.  SOUND
+    #: because (a) the support threshold is re-selected a posteriori
+    #: (select_planes_device implements the reference auto-tuner's
+    #: schedule on the extracted set), and (b) big-to-small extraction
+    #: order is preserved by the acceptance rule itself: lanes accept in
+    #: exact-inlier-count order and a plane is only eligible once its
+    #: overlook failure probability (1-k/4N)^drawn clears the bound — a
+    #: floor-support plane needs ~|log overlook|*4N/k draws, by which
+    #: point every larger plane has long been eligible.  Removes the
+    #: 2-round exhaustion streak each halving level cost (measured r4:
+    #: 32 rounds, of which ~9 were termination walking).  The pinned
+    #: min-support overload (plade.cpp:583-599) is unaffected.
+    ransac_flat_support: bool = True
     min_planes: int = 10
     max_planes: int = 40
     #: candidate planes drawn per greedy round (TPU batched RANSAC; the
@@ -120,13 +142,18 @@ class PladeConfig:
     #: stretched when a plane spans more cells, mirroring the reference's
     #: extent-sized bitmap)
     bitmap_grid: int = 64
-    #: CC label-propagation iterations.  Each iteration is one 3x3 min
-    #: stencil + four pointer jumps (each jump squares the propagation
-    #: distance); 6 saturates a 64^2 grid for blob-like components
-    #: (measured: identical extraction output vs 8, ~10% less round
-    #: latency).  The sequential iteration count is the trim's dominant
-    #: on-device latency — raise for pathologically serpentine supports.
+    #: CC label-propagation iterations of the HLO fallback path (CPU
+    #: tests, dry-runs).  Each iteration is one 3x3 min stencil + four
+    #: pointer jumps (each jump squares the propagation distance); 6
+    #: saturates a 64^2 grid for blob-like components (measured:
+    #: identical extraction output vs 8, ~10% less round latency).
     bitmap_cc_iters: int = 6
+    #: CC iterations of the TPU Pallas kernel (kernels/cc.py — plain 3x3
+    #: min propagation, no pointer jumps, all iterations inside one
+    #: in-VMEM kernel so extra iterations are nearly free).  256 covers
+    #: any path of that length on the 64^2 grid; raise toward grid^2/2
+    #: for pathologically serpentine supports.
+    bitmap_cc_iters_tpu: int = 256
 
     # ----- line confidence (plade.cpp:144-162, util.h:389-426) -----
     #: cull lines whose confidence (min over the two supporting planes of

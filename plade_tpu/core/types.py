@@ -118,8 +118,12 @@ class RegistrationResult(NamedTuple):
     corresponding ``max_*`` config should be raised.
     """
     transform: jnp.ndarray   # (4, 4) float32 — source -> target
-    score: jnp.ndarray       # () float32 — 0.2*planeFrac + 0.8*overlap
-    overlap: jnp.ndarray     # () float32
+    score: jnp.ndarray       # () float32 — the quantity that RANKED the
+    # winner: 0.2*planeFrac + 0.8*overlap, where overlap is the coarse
+    # dsd-radius ratio (plade.cpp:561) when rescore is off, or the
+    # tight-radius co-visible ratio when cfg.rescore_top_k > 0 (the
+    # rescore argmax is what selects the returned pose — pipeline.py)
+    overlap: jnp.ndarray     # () float32 — same convention as ``score``
     matched_planes: jnp.ndarray  # () int32
     success: jnp.ndarray     # () bool
     match_saturated: jnp.ndarray  # () int32 — query rows whose per-query

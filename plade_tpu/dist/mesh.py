@@ -103,11 +103,18 @@ def stack_clouds(clouds: list[Cloud]) -> Cloud:
 
 
 class PairOutcome(NamedTuple):
+    """Per-pair batch result, including the truncation diagnostics the
+    single-pair entry surfaces through its info dict (pipeline.py
+    register_clouds) — batch callers (CLI --device-batch, eval harnesses)
+    record these per pair instead of losing them to stdout."""
     transform: np.ndarray   # (4, 4)
     success: bool
     score: float
     overlap: float
     matched_planes: int
+    cloud_capped: bool = False      # input subsampled to cfg.max_points
+    match_saturated: int = 0        # dropped descriptor radius hits (rows)
+    pen_overflow: int = 0           # dropped penetration tests
 
 
 def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
@@ -125,6 +132,7 @@ def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
     from ..pipeline import _cap_cloud, _pad_size
 
     capped = []
+    cap_flags = []
     max_n = 0
     for i, (tp, tn, sp, sn) in enumerate(cloud_pairs):
         tp, tn, t_capped = _cap_cloud(tp, tn, cfg.max_points, seed + 2 * i)
@@ -133,6 +141,7 @@ def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
         if t_capped or s_capped:
             print(f"[register_array_pairs] pair {i}: cloud capped to "
                   f"max_points={cfg.max_points}", flush=True)
+        cap_flags.append(bool(t_capped or s_capped))
         max_n = max(max_n, tp.shape[0], sp.shape[0])
         capped.append((tp, tn, sp, sn))
     pad = _pad_size(max_n, maximum=cfg.max_points)
@@ -154,7 +163,11 @@ def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
         sc = np.asarray(res.score)
         ov = np.asarray(res.overlap)
         mp = np.asarray(res.matched_planes)
+        ms = np.asarray(res.match_saturated)
+        po = np.asarray(res.pen_overflow)
         for i in range(min(B0, len(capped) - start)):
-            results.append(PairOutcome(T[i], bool(ok[i]), float(sc[i]),
-                                       float(ov[i]), int(mp[i])))
+            results.append(PairOutcome(
+                T[i], bool(ok[i]), float(sc[i]), float(ov[i]), int(mp[i]),
+                cloud_capped=cap_flags[start + i],
+                match_saturated=int(ms[i]), pen_overflow=int(po[i])))
     return results

@@ -157,7 +157,7 @@ class _State(NamedTuple):
 
 
 def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
-                            t_sub: int = 1):
+                            t_sub: int = 1, cc_iters_tpu: int = 256):
     """Keep the inlier points lying in the largest connected component of
     the occupancy bitmap over in-plane coords ``uv`` (N, 2).
 
@@ -243,9 +243,13 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
     def _cc_pallas(occ_counts):
         # one fused kernel: the stitched-HLO close+CC was ~80 sequential
         # tiny-grid ops per round and ~60% of extraction wall time
-        # (kernels/cc.py); in-VMEM iterations make pointer jumps moot
+        # (kernels/cc.py); in-VMEM iterations make pointer jumps moot.
+        # Iteration count from cfg.bitmap_cc_iters_tpu (the HLO fallback
+        # above uses cfg.bitmap_cc_iters — different algorithms, separate
+        # knobs)
         from ..kernels.cc import close_and_label
-        return close_and_label(occ_counts.reshape(grid, grid), iters=256)
+        return close_and_label(occ_counts.reshape(grid, grid),
+                               iters=cc_iters_tpu)
 
     labels = jax.lax.platform_dependent(occ_counts, tpu=_cc_pallas,
                                         default=_cc_jnp)
@@ -557,7 +561,8 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             cc_eff = 0 if "cc" in _ABLATE else cc_iters
             kept = jax.vmap(
                 lambda uv_a, in_a: _largest_component_mask(
-                    uv_a, in_a, bitmap_eps, grid, cc_eff, T_SUB),
+                    uv_a, in_a, bitmap_eps, grid, cc_eff, T_SUB,
+                    cfg.bitmap_cc_iters_tpu),
                 in_axes=1, out_axes=1)(uv, inl)                  # (N, A)
 
         # exclusive assignment: sequential greedy over lanes in priority
@@ -785,7 +790,12 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         form of the reference auto-tuner (plade.cpp:602-635).
         """
         if init_support is None:
-            init_support = cfg.ransac_init_min_support
+            # flat-support mode: start at the floor (see
+            # PladeConfig.ransac_flat_support for the soundness argument);
+            # otherwise the reference's staged halving from 10000
+            init_support = (cfg.ransac_min_allowed_support
+                            if cfg.ransac_flat_support
+                            else cfg.ransac_init_min_support)
         if min_planes is None:
             min_planes = cfg.min_planes
         valid = jnp.arange(num_points) < count

@@ -30,10 +30,10 @@ class Matches(NamedTuple):
     t_idx: jnp.ndarray   # (M,) int32 — target row
     valid: jnp.ndarray   # (M,) bool
     count: jnp.ndarray   # () int32 (pre-cap true count)
-    saturated: jnp.ndarray  # () int32 — query rows whose per-query neighbor
-    # cap filled entirely with radius hits: true radius matches may have
-    # been dropped on those rows (the reference search is unbounded-k,
-    # util.cpp:115)
+    saturated: jnp.ndarray  # () int32 — query rows that KEPT fewer radius
+    # hits than truly exist (per-query cap or sort-unit approximation):
+    # an exact drop counter vs the reference's unbounded-k search
+    # (util.cpp:115).  0 certifies the match set radius-exact.
 
 
 def match_descriptors(query: PairDescriptors, target: PairDescriptors,
@@ -50,6 +50,21 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
     fixed-radius search is unbounded-k — util.cpp:115 — but real queries
     have a handful of radius-neighbors; dense rank-order scatter over all
     Q x T cells was measured 100x slower than this shape on v5e.)
+
+    Two approximations vs the reference's exact unbounded search:
+
+    * rows with more than ``per_query`` true radius hits keep only the
+      nearest ``per_query``;
+    * ``approx_min_k`` at default recall over the 2k+4 oversample is not
+      guaranteed exact — a true radius match can fall outside the
+      approximate top-(2k+4) when many near-tie distances crowd one sort
+      tile.
+
+    Both are surfaced EXACTLY by ``saturated``: the true radius-hit count
+    per row is an extra cheap reduction over the block distance matrix
+    (materialized anyway), and ``saturated`` counts rows where fewer hits
+    were kept than exist.  Zero saturation certifies the match set
+    radius-exact vs the reference search.
     """
     Q = query.desc.shape[0]
     T = target.desc.shape[0]
@@ -79,12 +94,15 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
         order = jnp.argsort(vals_o, axis=-1)[:, :k]
         vals = jnp.take_along_axis(vals_o, order, axis=1)
         idx = jnp.take_along_axis(idx_o, order, axis=1)
-        return None, (vals, idx)
+        # exact radius-hit count per row: the drop certificate (docstring)
+        nh = jnp.sum((d2 <= r2).astype(jnp.int32), axis=-1)
+        return None, (vals, idx, nh)
 
     blocks = qd.reshape(nblocks, block, qd.shape[-1])
-    _, (vals, idx) = jax.lax.scan(body, None, blocks)
+    _, (vals, idx, nh) = jax.lax.scan(body, None, blocks)
     vals = vals.reshape(nblocks * block, k)[:Q]
     idx = idx.reshape(nblocks * block, k)[:Q]
+    nh = nh.reshape(nblocks * block)[:Q]
 
     hit = vals <= r2                                     # (Q, k)
     hi = hit.astype(jnp.int32)
@@ -100,9 +118,42 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
         jnp.where(write, idx.reshape(-1).astype(jnp.int32), 0), mode="drop")
     total = jnp.sum(hi)
     m = jnp.arange(max_matches) < jnp.minimum(total, max_matches)
+    kept_hits = jnp.sum(hi, axis=1)
     return Matches(q_idx=buf_q[:max_matches], t_idx=buf_t[:max_matches],
                    valid=m, count=total,
-                   saturated=jnp.sum(jnp.all(hit, axis=1).astype(jnp.int32)))
+                   saturated=jnp.sum((nh > kept_hits).astype(jnp.int32)))
+
+
+def stitch_hypotheses(segments):
+    """Front-compact hypothesis segments into one (R, t, valid) buffer.
+
+    ``segments``: list of ``(R (Mi,3,3), t (Mi,3), count ())`` where each
+    segment's valid rows already sit in a front prefix (the
+    match_descriptors compaction convention).  The segments are copied at
+    the running valid count with ``dynamic_update_slice`` so ALL valid
+    rows land in one prefix — required by cluster_poses' small-count tier
+    dispatch, which only looks at the first ``small`` rows (concatenating
+    raw padded buffers instead would park later segments' hypotheses
+    behind the first buffer's invalid tail, silently dropping them
+    whenever the total count fits a tier).
+
+    Returns (R, t, valid, total).
+    """
+    H = sum(int(s[0].shape[0]) for s in segments)
+    R0, t0, c0 = segments[0]
+    R = jax.lax.dynamic_update_slice(
+        jnp.zeros((H, 3, 3), R0.dtype), R0, (0, 0, 0))
+    t = jax.lax.dynamic_update_slice(
+        jnp.zeros((H, 3), t0.dtype), t0, (0, 0))
+    total = jnp.minimum(c0, R0.shape[0]).astype(jnp.int32)
+    for Ri, ti, ci in segments[1:]:
+        # write start = running count <= sum of previous segment sizes,
+        # so start + Mi <= H always: no dynamic_update_slice clamping
+        R = jax.lax.dynamic_update_slice(R, Ri, (total, 0, 0))
+        t = jax.lax.dynamic_update_slice(t, ti, (total, 0))
+        total = total + jnp.minimum(ci, Ri.shape[0]).astype(jnp.int32)
+    valid = jnp.arange(H) < total
+    return R, t, valid, total
 
 
 def hypothesis_poses(query: PairDescriptors, target: PairDescriptors,
@@ -200,36 +251,58 @@ def _cluster_impl(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
     idx = jnp.arange(H, dtype=jnp.int32)
     hi = jax.lax.Precision.HIGHEST
 
-    chunk = min(chunk, H)
-    nchunks = (H + chunk - 1) // chunk
-    Hp = nchunks * chunk
-    pad = Hp - H
+    if H <= 8192:
+        # hot path (the tier dispatch lands nearly every real pair here):
+        # materialize the (H, H) adjacency ONCE — two MXU matmuls + two
+        # compares — so each sweep is a single masked min-reduce instead
+        # of a sequential lax.map over chunked distance blocks recomputed
+        # every sweep (measured r4: the sweep chain was ~50 ms of the
+        # register tail at H=4096; one 4096^2 bool is 16 MB, a bandwidth
+        # triviality)
+        d2t_full = tt[:, None] - 2.0 * jnp.dot(t, t.T, precision=hi) \
+            + tt[None, :]
+        d2e_full = ee[:, None] - 2.0 * jnp.dot(e, e.T, precision=hi) \
+            + ee[None, :]
+        adj_full = (d2t_full <= d2t_tol) & (d2e_full < d2e_tol) \
+            & valid[:, None] & valid[None, :]
 
-    def pad0(x):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
-            if pad else x
+        def sweep(labels):
+            new = jnp.min(jnp.where(adj_full, labels[None, :], H), axis=1)
+            lab = jnp.minimum(labels, new.astype(jnp.int32))
+            lab = jnp.minimum(lab, lab[lab])     # pointer jump x2
+            return jnp.minimum(lab, lab[lab])
+    else:
+        chunk = min(chunk, H)
+        nchunks = (H + chunk - 1) // chunk
+        Hp = nchunks * chunk
+        pad = Hp - H
 
-    t_p = pad0(t).reshape(nchunks, chunk, 3)
-    e_p = pad0(e).reshape(nchunks, chunk, 3)
-    tt_p = pad0(tt).reshape(nchunks, chunk)
-    ee_p = pad0(ee).reshape(nchunks, chunk)
-    v_p = pad0(valid).reshape(nchunks, chunk)
+        def pad0(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
+                if pad else x
 
-    def sweep(labels):
-        def one(args):
-            tr, er, ttr, eer, vr = args
-            d2t = ttr[:, None] - 2.0 * jnp.dot(tr, t.T, precision=hi) \
-                + tt[None, :]
-            d2e = eer[:, None] - 2.0 * jnp.dot(er, e.T, precision=hi) \
-                + ee[None, :]
-            adj = (d2t <= d2t_tol) & (d2e < d2e_tol) \
-                & vr[:, None] & valid[None, :]
-            return jnp.min(jnp.where(adj, labels[None, :], H), axis=1)
+        t_p = pad0(t).reshape(nchunks, chunk, 3)
+        e_p = pad0(e).reshape(nchunks, chunk, 3)
+        tt_p = pad0(tt).reshape(nchunks, chunk)
+        ee_p = pad0(ee).reshape(nchunks, chunk)
+        v_p = pad0(valid).reshape(nchunks, chunk)
 
-        new = jax.lax.map(one, (t_p, e_p, tt_p, ee_p, v_p)).reshape(Hp)[:H]
-        lab = jnp.minimum(labels, new.astype(jnp.int32))
-        lab = jnp.minimum(lab, lab[lab])     # pointer jump x2
-        return jnp.minimum(lab, lab[lab])
+        def sweep(labels):
+            def one(args):
+                tr, er, ttr, eer, vr = args
+                d2t = ttr[:, None] - 2.0 * jnp.dot(tr, t.T, precision=hi) \
+                    + tt[None, :]
+                d2e = eer[:, None] - 2.0 * jnp.dot(er, e.T, precision=hi) \
+                    + ee[None, :]
+                adj = (d2t <= d2t_tol) & (d2e < d2e_tol) \
+                    & vr[:, None] & valid[None, :]
+                return jnp.min(jnp.where(adj, labels[None, :], H), axis=1)
+
+            new = jax.lax.map(
+                one, (t_p, e_p, tt_p, ee_p, v_p)).reshape(Hp)[:H]
+            lab = jnp.minimum(labels, new.astype(jnp.int32))
+            lab = jnp.minimum(lab, lab[lab])     # pointer jump x2
+            return jnp.minimum(lab, lab[lab])
 
     def cond(state):
         labels, prev, it = state

@@ -205,16 +205,23 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
                                 cfg.max_query_pairs, ordered=False,
                                 min_angle_cos=cos10, pad_value=1e6)
     matches = matching.match_descriptors(
-        src_desc, tgt_desc, cfg.descriptor_match_radius, cfg.max_matches)
+        src_desc, tgt_desc, cfg.descriptor_match_radius, cfg.max_matches,
+        per_query=cfg.match_per_query)
     R, t = matching.hypothesis_poses(src_desc, tgt_desc, matches)
     hyp_valid = matches.valid
+    # live valid rows of the 2-2 buffer (front-compacted by
+    # match_descriptors)
+    total_matches = jnp.minimum(matches.count, cfg.max_matches)
 
     if cfg.enable_degraded_families:
         # 22-21 / 22-12 degraded 6-D families (flag; see PladeConfig):
         # extra hypothesis sources for pairs whose plane correspondence
         # is broken in one cloud.  Their matches only ADD hypotheses —
-        # the 2-2 path above is untouched
+        # the 2-2 path above is untouched.  The three match buffers are
+        # stitched FRONT-COMPACTED (matching.stitch_hypotheses) so the
+        # tier dispatch in cluster_poses sees every degraded hypothesis.
         from .descriptors.pairlines import degraded_descriptors
+        segments = [(R, t, matches.count)]
         for fam in ("2221", "2212"):
             tgt_d6 = degraded_descriptors(
                 tgt.lines, tgt.planes.coeffs[:, :3], scale,
@@ -226,11 +233,11 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
                 family=fam, pad_value=1e6)
             m6 = matching.match_descriptors(
                 src_d6, tgt_d6, cfg.descriptor_match_radius,
-                cfg.max_degraded_matches)
+                cfg.max_degraded_matches, per_query=cfg.match_per_query)
             R6, t6 = matching.hypothesis_poses(src_d6, tgt_d6, m6)
-            R = jnp.concatenate([R, R6], axis=0)
-            t = jnp.concatenate([t, t6], axis=0)
-            hyp_valid = jnp.concatenate([hyp_valid, m6.valid], axis=0)
+            segments.append((R6, t6, m6.count))
+        R, t, hyp_valid, total_matches = matching.stitch_hypotheses(
+            segments)
 
     # cluster at half the length/angle thresholds (util.cpp:331)
     euler_tol = math.sqrt(cfg.angle_threshold / 2.0)
@@ -394,10 +401,24 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         score_f = jnp.where(kvalid, score_f, -jnp.inf)
         bestk = jnp.argmax(score_f)
         best = top_idx[bestk]
+        # the winner was RANKED as its re-centered pose Rr/tr scored by
+        # score_f — return exactly those, not the raw representative and
+        # the stale coarse entries (which can be 0 for candidates the
+        # bound loop never exactly evaluated): the reported pose and its
+        # quality metrics must be the quantities that won the argmax
+        best_R = Rr[bestk]
+        best_t = tr[bestk]
+        rep_score = score_f[bestk]
+        rep_overlap = ov_f[bestk]
+    else:
+        best_R = sR[best]
+        best_t = st[best]
+        rep_score = score[best]
+        rep_overlap = ov[best]
 
-    success = jnp.any(sel_valid) & (matches.count > 0)
-    Rb = jnp.where(success, sR[best], jnp.eye(3))
-    tb = jnp.where(success, st[best], jnp.zeros(3))
+    success = jnp.any(sel_valid) & (total_matches > 0)
+    Rb = jnp.where(success, best_R, jnp.eye(3))
+    tb = jnp.where(success, best_t, jnp.zeros(3))
 
     if cfg.enable_icp:
         # point-to-plane refinement of the winning coarse pose
@@ -413,8 +434,8 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
 
     return RegistrationResult(
         transform=se3_matrix(Rb, tb),
-        score=jnp.where(success, score[best], 0.0),
-        overlap=jnp.where(success, ov[best], 0.0),
+        score=jnp.where(success, rep_score, 0.0),
+        overlap=jnp.where(success, rep_overlap, 0.0),
         matched_planes=jnp.where(success, sel_counts[best], 0),
         success=success,
         match_saturated=matches.saturated,

@@ -129,16 +129,50 @@ def test_max_trials_caps_support_halving(rng):
     stays at the (unattainable) init value and nothing is extracted."""
     pts, nrm, gt_planes = make_room(rng, n_per_plane=1200, noise=0.002,
                                     extra_planes=0)
-    no_halve = dataclasses.replace(TEST_CFG, ransac_max_trials=0,
+    # the staged halving cascade is the ransac_flat_support=False path
+    # (the default flat mode starts at the floor and never halves)
+    staged = dataclasses.replace(TEST_CFG, ransac_flat_support=False)
+    no_halve = dataclasses.replace(staged, ransac_max_trials=0,
                                    min_planes=2)
     planes, st = _extract(pts, nrm, no_halve, min_support=400, stats=True)
     assert int(planes.count) == 0
     assert int(st.trials) == 0
     assert int(st.min_support) == 10000   # never halved
-    ok = dataclasses.replace(TEST_CFG, ransac_max_trials=10, min_planes=2)
+    ok = dataclasses.replace(staged, ransac_max_trials=10, min_planes=2)
     planes2, st2 = _extract(pts, nrm, ok, min_support=400, stats=True)
     assert int(planes2.count) == len(gt_planes)
     assert 1 <= int(st2.trials) <= 10
+
+
+def test_flat_support_matches_staged(rng):
+    """Flat-support mode (start at the floor; PladeConfig.
+    ransac_flat_support) recovers the same planes as the staged halving
+    cascade in no more greedy rounds — the acceptance bound itself stages
+    big-to-small, and the support threshold is re-selected a posteriori."""
+    pts, nrm, gt_planes = make_room(rng, n_per_plane=1500, noise=0.002,
+                                    extra_planes=2)
+    staged_cfg = dataclasses.replace(TEST_CFG, ransac_flat_support=False,
+                                     ransac_init_min_support=2000)
+    p_flat, st_flat = _extract(pts, nrm, TEST_CFG, min_support=400,
+                               stats=True)
+    p_staged, st_staged = _extract(pts, nrm, staged_cfg, min_support=400,
+                                   stats=True)
+
+    def recall(planes):
+        count = int(planes.count)
+        got = np.asarray(planes.coeffs[:count])
+        matched = 0
+        for n_gt, d_gt in gt_planes:
+            dots = got[:, :3] @ n_gt
+            dd = np.abs(got[:, 3] - d_gt)
+            if np.any((dots > 0.99) & (dd < 0.05)):
+                matched += 1
+        return matched
+
+    assert recall(p_flat) >= len(gt_planes) - 1
+    assert recall(p_flat) >= recall(p_staged)
+    assert int(st_flat.trials) == 0            # never halves
+    assert int(st_flat.rounds) <= int(st_staged.rounds)
 
 
 def test_select_planes_auto_tune(rng):

@@ -150,6 +150,84 @@ def test_match_descriptors_radius_exact():
     assert got == want
 
 
+def _mk_desc(d):
+    from plade_tpu.core.types import PairDescriptors
+    n = d.shape[0]
+    z = jnp.zeros((n, 3), jnp.float32)
+    return PairDescriptors(desc=jnp.asarray(d), line_vec1=z, line_vec2=z,
+                           anchor=z, line_idx=jnp.zeros((n, 2), jnp.int32),
+                           count=jnp.asarray(n, jnp.int32))
+
+
+def test_match_saturation_counter_exact():
+    """``saturated`` counts exactly the query rows that kept fewer radius
+    hits than truly exist (the per-query cap path — the reference search
+    is unbounded-k, util.cpp:115), and zero saturation certifies
+    radius-exactness."""
+    rng = np.random.default_rng(1)
+    # query 0 sits in a dense clump of 20 targets within radius; query 1
+    # has 2 neighbors; the rest none
+    qd = np.array([[0.0] * 8, [5.0] * 8, [50.0] * 8], np.float32)
+    clump = (qd[0] + rng.normal(scale=0.005, size=(20, 8))).astype(np.float32)
+    near1 = (qd[1] + rng.normal(scale=0.005, size=(2, 8))).astype(np.float32)
+    far = rng.normal(loc=-40.0, size=(30, 8)).astype(np.float32)
+    td = np.concatenate([clump, near1, far])
+    radius = 0.1
+
+    # cap 8 < 20 true hits on row 0 -> exactly one saturated row, and the
+    # kept matches for row 0 are the 8 NEAREST clump members
+    m = matching.match_descriptors(_mk_desc(qd), _mk_desc(td), radius,
+                                   max_matches=256, per_query=8)
+    assert int(m.saturated) == 1
+    got0 = sorted(int(t) for q, t, v in zip(np.asarray(m.q_idx),
+                                            np.asarray(m.t_idx),
+                                            np.asarray(m.valid))
+                  if v and int(q) == 0)
+    d0 = np.linalg.norm(qd[0] - td, axis=-1)
+    want0 = sorted(np.argsort(d0)[:8].tolist())
+    assert got0 == want0
+    # row 1's 2 hits are all kept despite the cap
+    got1 = {int(t) for q, t, v in zip(np.asarray(m.q_idx),
+                                      np.asarray(m.t_idx),
+                                      np.asarray(m.valid))
+            if v and int(q) == 1}
+    assert got1 == {20, 21}
+
+    # cap 32 >= every row's true hit count -> zero saturation, exact set
+    m2 = matching.match_descriptors(_mk_desc(qd), _mk_desc(td), radius,
+                                    max_matches=256, per_query=32)
+    assert int(m2.saturated) == 0
+    assert int(m2.count) == 22
+
+
+def test_stitch_hypotheses_front_compacts():
+    """Segments with internally front-compacted valid rows stitch into one
+    prefix — the property cluster_poses' tier dispatch relies on (without
+    it, degraded-family hypotheses parked behind the 2-2 buffer's invalid
+    tail are silently dropped whenever the total count fits a tier)."""
+    def seg(m, c, base):
+        R = jnp.tile(jnp.eye(3)[None] * 0.0, (m, 1, 1)).at[:, 0, 0].set(
+            base + jnp.arange(m, dtype=jnp.float32))
+        t = jnp.zeros((m, 3)).at[:, 0].set(
+            base + jnp.arange(m, dtype=jnp.float32))
+        return R, t, jnp.asarray(c, jnp.int32)
+
+    s0 = seg(8, 2, 100.0)    # valid rows 100, 101
+    s1 = seg(4, 3, 200.0)    # valid rows 200, 201, 202
+    s2 = seg(4, 1, 300.0)    # valid row  300
+    R, t, valid, total = matching.stitch_hypotheses([s0, s1, s2])
+    assert R.shape == (16, 3, 3) and int(total) == 6
+    assert np.asarray(valid).tolist() == [True] * 6 + [False] * 10
+    assert np.asarray(t)[:6, 0].tolist() == [100.0, 101.0, 200.0, 201.0,
+                                             202.0, 300.0]
+    # count saturating a segment's buffer clamps to the buffer size
+    s3 = seg(4, 99, 400.0)
+    _, t2, _, total2 = matching.stitch_hypotheses([s0, s3])
+    assert int(total2) == 6
+    assert np.asarray(t2)[:6, 0].tolist() == [100.0, 101.0, 400.0, 401.0,
+                                              402.0, 403.0]
+
+
 def test_degraded_families_recover_missing_plane_match():
     """Feature-flag surface (VERDICT r3 next-#8): when one cloud's support
     plane is corrupted (stand-in for an unextracted plane), the 2-2 8-D

@@ -176,6 +176,115 @@ def test_line_confidence_gate(rng):
     assert tilted not in sup2[0]
 
 
+def test_degraded_families_full_pipeline(rng):
+    """Integration of the enable_degraded_families flag through the FULL
+    pipeline: the stitched hypothesis buffer (2-2 + two degraded 6-D
+    segments) must reach pose clustering front-compacted — with the raw
+    concatenation the tier dispatch in cluster_poses dropped every
+    degraded hypothesis whenever the total count fit a tier (advisor r4
+    medium), and the success gate ignored degraded-only matches."""
+    import dataclasses
+    pts, nrm, _ = make_room(rng, n_per_plane=1200, noise=0.002,
+                            extra_planes=2)
+    R, t = random_rigid(rng, max_angle=1.0, max_trans=0.5)
+    spts, snrm = transform_cloud(pts, nrm, R.T, -R.T @ t)
+    cfg = dataclasses.replace(SMALL_CFG, enable_degraded_families=True,
+                              max_degraded_matches=2048)
+    T, info = register_clouds(pts, nrm, spts, snrm, cfg, seed=0)
+    assert info["success"], info
+    c = (np.trace(R.T @ T[:3, :3]) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 3.0
+
+
+def test_rescore_reporting_matches_ranking_quantity(rng):
+    """When the tight-radius rescore selects the winner, the returned
+    transform must be the re-centered pose that was RANKED, and
+    info['score'] / info['overlap'] must equal the tight co-visible
+    quantities that ranked it — not the stale coarse entries (which are 0
+    for candidates the bound loop never exactly evaluated).  Verified by
+    recomputing the rescore score of the RETURNED pose independently."""
+    import jax
+    import jax.numpy as jnp
+    from plade_tpu.core.types import pad_cloud
+    from plade_tpu.extract import ransac
+    from plade_tpu.knn.bruteforce import average_spacing
+    from plade_tpu.pipeline import (_pad_size, prepare_cloud,
+                                    register_with_planes)
+    from plade_tpu.verify import overlap as overlap_mod
+
+    cfg = SMALL_CFG
+    assert cfg.rescore_top_k > 0 and not cfg.enable_icp
+    pts, nrm, _ = make_room(rng, n_per_plane=1200, noise=0.002,
+                            extra_planes=2)
+    R, t = random_rigid(rng, max_angle=1.0, max_trans=0.5)
+    spts, snrm = transform_cloud(pts, nrm, R.T, -R.T @ t)
+    pad = _pad_size(max(pts.shape[0], spts.shape[0]))
+    tc = pad_cloud(pts, nrm, pad)
+    sc = pad_cloud(spts, snrm, pad)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = ransac.auto_extract(tc.points, tc.normals, tc.count, k1, cfg, pad)
+    sp = ransac.auto_extract(sc.points, sc.normals, sc.count, k2, cfg, pad)
+    T, info = register_with_planes(pts, nrm, spts, snrm, tp, sp, cfg)
+    assert info["success"], info
+
+    # independent recompute of the tight co-visible score of the RETURNED
+    # pose (mirrors pipeline.py's rescore block)
+    spacing = float(average_spacing(sc.points, sc.mask, cfg.spacing_k,
+                                    cfg.spacing_samples))
+    dp = cfg.derived(spacing)
+    dsd = jnp.float32(dp.down_sample_distance)
+    tprep = prepare_cloud(tc, tp, dsd, cfg)
+    sprep = prepare_cloud(sc, sp, dsd, cfg)
+    Rb = jnp.asarray(T[:3, :3])
+    tb = jnp.asarray(T[:3, 3])
+    # bit-identical to pipeline.py's r_fine (f32 arithmetic on dsd)
+    r_fine = cfg.rescore_radius_factor * dsd / cfg.downsample_factor
+    cnt = overlap_mod.exact_overlap_counts(
+        Rb[None], tb[None], sprep.ds.points, sprep.ds.mask,
+        tprep.ds.points, r_fine * r_fine,
+        src_normals=sprep.ds.normals, tgt_normals=tprep.ds.normals,
+        normal_cos=cfg.overlap_normal_cos)
+    bm, org, cell = overlap_mod.build_occupancy(
+        tprep.ds.points, tprep.ds.mask,
+        jnp.float32(dp.length_threshold), cfg.overlap_grid)
+    covis = overlap_mod.approx_overlap_counts(
+        bm, org, cell, Rb[None], tb[None], sprep.ds.points, sprep.ds.mask,
+        cfg.overlap_grid)
+    denom = float(max(min(int(sprep.ds.count), int(tprep.ds.count)), 1))
+    denom_k = max(float(covis[0]), cfg.rescore_covis_floor * denom)
+    ov_f = float(cnt[0]) / denom_k
+    pf = info["matched_planes"] / max(int(sp.count), 1)
+    score_f = cfg.face_matches_weight * pf \
+        + (1.0 - cfg.face_matches_weight) * ov_f
+    assert np.isclose(info["overlap"], ov_f, rtol=1e-4, atol=1e-5), \
+        (info["overlap"], ov_f)
+    assert np.isclose(info["score"], score_f, rtol=1e-4, atol=1e-5), \
+        (info["score"], score_f)
+
+
+def test_batch_outcome_truncation_flags(rng):
+    """register_array_pairs surfaces per-pair truncation diagnostics
+    (cloud_capped / match_saturated / pen_overflow) in PairOutcome,
+    mirroring register_clouds' info dict (VERDICT r4 weak-#6)."""
+    import dataclasses
+    from plade_tpu.dist.mesh import make_mesh, register_array_pairs
+    pts, nrm, _ = make_room(rng, n_per_plane=1200, noise=0.002,
+                            extra_planes=2)
+    R, t = random_rigid(rng, max_angle=1.0, max_trans=0.5)
+    spts, snrm = transform_cloud(pts, nrm, R.T, -R.T @ t)
+    assert pts.shape[0] > 4096
+    cfg = dataclasses.replace(SMALL_CFG, max_points=4096,
+                              spacing_samples=1000)
+    mesh = make_mesh(1)
+    outcomes = register_array_pairs(
+        [(pts, nrm, spts, snrm)], cfg, seed=0, mesh=mesh)
+    assert len(outcomes) == 1
+    o = outcomes[0]
+    assert o.cloud_capped is True
+    assert isinstance(o.match_saturated, int) and o.match_saturated >= 0
+    assert isinstance(o.pen_overflow, int) and o.pen_overflow >= 0
+
+
 def test_register_with_planes_overload(rng):
     """Core overload parity (plade.cpp:31-580): caller supplies planes."""
     import jax

@@ -50,11 +50,16 @@ def main():
     pad = _pad_size(tp.shape[0])
     tgt = pad_cloud(tp, tn, pad)
     base = PladeConfig()
-    run(base, "base S=1024 lanes=8 draw=8", tgt)
+    run(base, "base flat S=1024 A=2 chk=8", tgt)
     for repl in (
-        dict(bitmap_cc_iters=6),
-        dict(ransac_refit_rounds=2),
-        dict(ransac_exact_lanes=4),
+        dict(ransac_flat_support=False),
+        dict(ransac_candidates_per_round=2048),
+        dict(ransac_candidates_per_round=2048, ransac_exact_lanes=4),
+        dict(ransac_candidates_per_round=2048, ransac_exact_lanes=4,
+             ransac_check_lanes=12),
+        dict(ransac_candidates_per_round=4096, ransac_exact_lanes=4),
+        dict(ransac_candidates_per_round=4096, ransac_exact_lanes=6,
+             ransac_check_lanes=12),
     ):
         cfg = dataclasses.replace(base, **repl)
         run(cfg, ",".join(f"{k.split('_')[-1]}={v}" for k, v in repl.items()),
