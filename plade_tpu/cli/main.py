@@ -15,7 +15,8 @@ Extensions over the reference (flagged, defaults match reference behavior):
                  file and skip already-completed pairs on restart
                  (checkpoint/resume — absent from the reference)
   scene DIR OUT  register a scan directory pairwise + pose-graph sync
-  view RES OUT   headless ResultViewer: export the registered first pair
+  view RES OUT   ResultViewer: OUT.html -> self-contained interactive
+                 WebGL viewer; other OUT -> transformed-PLY export
 """
 from __future__ import annotations
 
@@ -96,6 +97,12 @@ def main(argv=None) -> int:
                              args.loop_stride, args.gt,
                              device_batch=args.device_batch)
         if args.paths[0] == "view" and len(args.paths) == 3:
+            # RESULT OUT.html -> interactive WebGL viewer (self-contained
+            # file, the ResultViewer equivalent); any other OUT -> headless
+            # transformed-PLY export
+            if args.paths[2].endswith(".html"):
+                from .viewer import export_html
+                return export_html(args.paths[1], args.paths[2])
             from .scene import export_view
             return export_view(args.paths[1], args.paths[2])
         if len(args.paths) == 3:

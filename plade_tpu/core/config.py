@@ -90,8 +90,11 @@ class PladeConfig:
     #: candidate planes drawn per greedy round (TPU batched RANSAC; the
     #: reference draws 200/round lazily — RansacShapeDetector.cpp:89-191.
     #: Subset scoring is one matmul, so a wide draw batch costs little and
-    #: the overlook-probability draw budget is met in few rounds.)
-    ransac_candidates_per_round: int = 1024
+    #: the overlook-probability draw budget is met in few rounds: 2048
+    #: front-loads the floor-level budget into ~2 rounds, which with pool
+    #: dedup + 4 accept lanes collapses the polyhedron extraction to 8
+    #: greedy rounds measured vs 32 in round 4.)
+    ransac_candidates_per_round: int = 2048
     #: locality-stratified sampling pyramid depth for 3-point draws (the
     #: reference samples octree cells at an adaptively weighted level,
     #: RansacShapeDetector.cpp:89-191; level l cell radius = extent/2^(l+1))
@@ -120,10 +123,13 @@ class PladeConfig:
     #: tail spent 11 rounds debunking a ~30-entry pool at 2 checks/round)
     ransac_check_lanes: int = 8
     #: checked lanes that proceed to refit + CC-trim + acceptance per
-    #: round.  Per-lane refit/trim is the round's marginal cost; 2 lanes
-    #: measured 36% faster than 4 on the sample pair with identical
-    #: extraction output (acceptance waves are rarely wider than 2)
-    ransac_exact_lanes: int = 2
+    #: round.  Per-lane refit/trim is the round's marginal cost, but with
+    #: the candidate-pool dedup (extract/ransac.py) the check lanes hold
+    #: DISTINCT planes, so wide accept waves actually fill: 4 lanes
+    #: measured 8 rounds vs 15 at 2 lanes on the polyhedron cloud at
+    #: equal wall time — and fewer rounds is what batched/lockstep
+    #: extraction depth is made of
+    ransac_exact_lanes: int = 4
     #: two exact lanes conflict (only the larger is accepted this round)
     #: when they share more than this fraction of the smaller inlier set
     ransac_conflict_frac: float = 0.3

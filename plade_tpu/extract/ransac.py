@@ -293,6 +293,31 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
     def round_body(state: _State, points, normals, valid, eps, bitmap_eps,
                    extent, floor_support, min_planes, max_trials):
         min_support = state.min_support
+        # FLAT mode (ransac_flat_support): acceptance and termination run
+        # against a SELECTION-AWARE dynamic threshold — the largest
+        # schedule level at which the planes recorded so far already
+        # number >= min_planes (floor until then).  The a-posteriori
+        # selection (select_planes_device = the reference auto-tuner's
+        # schedule, plade.cpp:602-635) will discard anything below that
+        # level, so extracting it is pure waste; gating acceptance on it
+        # also stops sub-threshold acceptances from resetting the
+        # exhaustion streak forever (measured: without this, flat mode
+        # extracted 52 planes / 45 rounds of which selection kept 14).
+        # The threshold only ever rises (planes are only added), so the
+        # termination claim "no plane >= support_now remains" certifies
+        # the final selection outcome.
+        if cfg.ransac_flat_support:
+            th_sched = jnp.asarray(_support_thresholds(cfg), jnp.int32)
+            pvalid = jnp.arange(state.sizes.shape[0]) < state.num_planes
+            cnt_th = jnp.sum((state.sizes[None, :] >= th_sched[:, None])
+                             & pvalid[None, :], axis=1)
+            okth = cnt_th >= min_planes
+            support_now = jnp.maximum(
+                jnp.where(jnp.any(okth), th_sched[jnp.argmax(okth)],
+                          min_support),
+                min_support)
+        else:
+            support_now = min_support
         key, k1, k_lvl, k_g2, k_g3 = jax.random.split(state.key, 5)
         free = valid & ~state.assigned
         free_f = jnp.maximum(jnp.sum(free.astype(jnp.float32)), 1.0)
@@ -439,6 +464,27 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
                            jnp.full((L,), 1.0 / L))
         new_level_probs = 0.5 * probs + 0.5 * normed
 
+        # ---- pool dedup before the merge: a candidate whose plane
+        # matches a STRONGER one (higher estimate, ties by lower index)
+        # within the tight ban tolerance is dropped.  Without this the
+        # pool fills with duplicates of the few biggest remaining planes
+        # and the check lanes see only 1-2 DISTINCT planes per round, so
+        # accept waves stay narrow no matter how wide A is (measured:
+        # 26 rounds -> the accept spread dominated).  One (S+C)^2 matmul.
+        dup_dots = jnp.dot(all_n, all_n.T, precision=hi)
+        dup_dd = jnp.abs(all_d[:, None] * jnp.sign(dup_dots + 1e-30)
+                         - all_d[None, :])
+        dup_near = (jnp.abs(dup_dots) > 0.999) & (dup_dd < 3.0 * eps)
+        SC = counts.shape[0]
+        dup_key = counts * SC - jnp.arange(SC, dtype=jnp.int32)
+        stronger = dup_near & (dup_key[None, :] > dup_key[:, None]) \
+            & all_ok[None, :]
+        # dormant entries are retained (they carry the exact-count memory
+        # across halvings in staged mode); only live entries dedup
+        dup = jnp.any(stronger, axis=1) & ~all_dormant
+        all_ok &= ~dup
+        counts = jnp.where(all_ok, counts, 0)
+
         # ---- pool merge: keep the top C by estimate; dormancy rides along
         _, top_idx = jax.lax.top_k(counts, C)
         top_counts = counts[top_idx]
@@ -486,7 +532,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         exact = exact[lane_order]
         Mmask = Mmask[:, lane_order]
 
-        eligible = lane_live & (exact >= min_support) \
+        eligible = lane_live & (exact >= support_now) \
             & (log_pfail(exact.astype(jnp.float32), drawn) <= log_overlook)
 
         # ---- multi-accept: greedy selection of non-conflicting lanes ----
@@ -578,7 +624,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         for a in range(A):
             my = kept[:, a] & slot_ok[a] & (owner == A)
             cnt = jnp.sum(my.astype(jnp.int32))
-            ok_a = slot_ok[a] & (cnt >= min_support)
+            ok_a = slot_ok[a] & (cnt >= support_now)
             owner = jnp.where(my & ok_a, a, owner)
             excl_support = excl_support.at[a].set(cnt)
             ok_support = ok_support.at[a].set(ok_a)
@@ -600,7 +646,7 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             accept_lane, mode="drop")
         trim_fail = jnp.zeros((A_CHK,), jnp.bool_).at[back_idx].set(
             trim_fail_slot, mode="drop")
-        debunked = lane_live & (exact < min_support)
+        debunked = lane_live & (exact < support_now)
         to_ban = trim_fail | debunked
         ban_src_n = lane_n.at[back_idx].set(ln, mode="drop")
         ban_src_d = lane_d.at[back_idx].set(ld, mode="drop")
@@ -675,9 +721,12 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         drawn = drawn * dec_prod
 
         # ---- overlook-probability termination / auto-tune halving ------
-        # exhausted: even a plane of exactly min_support would have been
-        # found by now w.p. 1 - overlook_prob.  The claim is contradicted
-        # while a live >= min_support candidate exists: an exactly-checked
+        # exhausted: even a plane of exactly ``support_now`` would have
+        # been found by now w.p. 1 - overlook_prob (in the staged mode
+        # support_now == min_support, the current halving level; in flat
+        # mode it is the selection-aware dynamic threshold — see its
+        # definition at the top of the round).  The claim is contradicted
+        # while a live >= support_now candidate exists: an exactly-checked
         # lane deferred by a conflict, or a live pool estimate that lane
         # capacity hasn't exactly checked yet (each such entry is checked
         # within a few rounds — checked lanes always leave the live set
@@ -685,29 +734,29 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         # keeps the single-round race (fresh draw entering the pool as the
         # bound fires) from terminating past it.
         pending_lane = jnp.any(eligible & ~accept_chk & ~trim_fail) \
-            | jnp.any(lane_live & (exact >= min_support)
+            | jnp.any(lane_live & (exact >= support_now)
                       & ~eligible & ~accept_chk & ~trim_fail)
         in_lanes = jnp.zeros((C,), jnp.bool_).at[lane_sel].set(
             True, mode="drop")
         # pool estimates are subset counts (std ~ sqrt(k * R_SUB) near k);
         # gate pending on a one-sigma LOWER confidence bound so a true
-        # >= min_support plane whose noisy estimate dips below the
+        # >= support_now plane whose noisy estimate dips below the
         # threshold still holds termination open (the overlook bound
         # otherwise under-counts misses — subset noise is extra risk on
         # top of the configured overlook probability)
-        ms_f = min_support.astype(jnp.float32)
+        ms_f = support_now.astype(jnp.float32)
         est_lcb = ms_f - jnp.sqrt(jnp.maximum(ms_f, 1.0) * R_SUB)
         pending_pool = jnp.any(pool_valid & ~pool_dormant & ~in_lanes
                                & (top_counts.astype(jnp.float32) >= est_lcb))
         pending = pending_lane | pending_pool
-        # fewer free points than min_support leaves nothing to find — a
+        # fewer free points than support_now leaves nothing to find — a
         # certainty, not a probability; without this the drawn counter
         # stalls at 0 (no valid candidates can be generated) and the
         # overlook bound never fires, burning rounds to the hard cap
         n_free_now = jnp.sum(free.astype(jnp.int32)) \
             - jnp.sum(acc_pt.astype(jnp.int32))
-        no_room = n_free_now < min_support
-        exh_cond = ((log_pfail(min_support.astype(jnp.float32), drawn)
+        no_room = n_free_now < support_now
+        exh_cond = ((log_pfail(support_now.astype(jnp.float32), drawn)
                      <= log_overlook) | no_room) & (n_acc == 0) & ~pending
         exh_streak = jnp.where(exh_cond, state.exh_streak + 1, 0)
         exhausted = exh_streak >= 2

@@ -159,3 +159,37 @@ def test_view_export(scene, monkeypatch, tmp_path):
     # registered source should lie near the target (same scene)
     assert tp.shape[1] == 3 and sp2.shape[1] == 3
     assert np.linalg.norm(sp2.mean(0) - tp.mean(0)) < 0.5
+
+
+def test_view_html_interactive(scene, monkeypatch, tmp_path):
+    """`view RES OUT.html` emits the self-contained interactive WebGL
+    viewer (the ResultViewer equivalent, main.cpp:37-95): embedded base64
+    point buffers decode to the pair's clouds with the source transformed
+    by the recorded matrix."""
+    import base64
+    d, tgt, src, R, t = scene
+    _patch_small_cfg(monkeypatch)
+    res = str(d / "result.txt")
+    if not os.path.exists(res):
+        assert main([tgt, src, res]) == 0
+    out = str(tmp_path / "view.html")
+    rc = main(["view", res, out])
+    assert rc == 0
+    html = open(out).read()
+    assert "<canvas" in html and "webgl" in html
+    assert "http" not in html.split("<script>")[1]  # no external fetches
+    from plade_tpu.cli.viewer import _parse_results
+    _, _, T = _parse_results(res)
+
+    def decode(marker):
+        b64 = html.split(f'{marker}="')[1].split('"')[0]
+        return np.frombuffer(base64.b64decode(b64), np.float32).reshape(-1, 3)
+
+    tp_emb = decode("TGT_P")
+    sp_emb = decode("SRC_P")
+    from plade_tpu.io.ply import read_ply
+    tp, _ = read_ply(tgt)
+    sp, _ = read_ply(src)
+    assert tp_emb.shape[0] == tp.shape[0]  # below cap: no subsample
+    sp_expect = sp @ T[:3, :3].T + T[:3, 3]
+    assert np.allclose(sp_emb, sp_expect, atol=1e-4)

@@ -26,29 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from run_eval import SCENES, SIZE, N_POINTS  # single source of scene truth
+from run_eval import SCENES, build_scene  # single source of scene truth
 from plade_tpu.io import resso
-from plade_tpu.io.synthetic import make_scan_sequence, write_scene
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BIN = os.path.join(REPO, ".ref_build", "PLADE")
 BASE = "/tmp/plade_synth_resso"
 OUT = os.path.join(REPO, "REF_EVAL.json")
-
-
-def ensure_scene(name, seed, n_scans, noise, nn_deg, radius, step):
-    d = os.path.join(BASE, name)
-    if not (os.path.isdir(d)
-            and len([f for f in os.listdir(d) if f.endswith(".ply")])
-            == n_scans):
-        rng = np.random.default_rng(seed)
-        scans, poses = make_scan_sequence(
-            rng, n_scans=n_scans, n_points=N_POINTS, overlap_radius=radius,
-            step=step, n_rooms=max(3, n_scans // 2), n_per_plane=9000,
-            noise=noise * SIZE, size=SIZE, extra_planes=3,
-            normal_noise_deg=nn_deg, max_angle=1.0, max_trans=0.6)
-        write_scene(d, scans, poses)
-    return d
 
 
 def parse_result(path):
@@ -80,6 +64,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--timeout", type=float, default=600.0,
                     help="per-pair wall-clock cap (s)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="independent runs per scene: the binary seeds "
+                         "srand(time(0)) (RansacShapeDetector.cpp:463), so "
+                         "one run is not a baseline (VERDICT r4 weak-#3b)")
     args = ap.parse_args()
     if not os.path.isfile(BIN):
         print(f"reference binary missing: {BIN} — build per "
@@ -87,45 +75,57 @@ def main():
         return 2
 
     report = {}
-    for name, seed, n_scans, noise, nn_deg, radius, step in SCENES:
-        d = ensure_scene(name, seed, n_scans, noise, nn_deg, radius, step)
+    for sc in SCENES:
+        name = sc["name"]
+        d = build_scene(sc, BASE)
         scene = resso.load_scene(d)
         pairs = resso.consecutive_pairs(scene)
-        hits, errs, times, fails, timeouts = 0, [], [], 0, 0
-        for i, j in pairs:
-            res_file = os.path.join(d, f"ref_result_{i}_{j}.txt")
-            t0 = time.perf_counter()
-            try:
-                proc = subprocess.run(
-                    [BIN, scene.scan_files[i], scene.scan_files[j], res_file],
-                    capture_output=True, timeout=args.timeout)
-                rc = proc.returncode
-            except subprocess.TimeoutExpired:
-                rc, timeouts = -1, timeouts + 1
-            dt = time.perf_counter() - t0
-            times.append(dt)
-            T = parse_result(res_file)
-            ok = rc == 0 and T is not None
-            if not ok:
-                fails += 1
-                T = np.eye(4)
-            G = scene.pair_ground_truth(i, j)
-            rot = resso.rotation_error_deg(G[:3, :3], T[:3, :3])
-            trans = float(np.linalg.norm(T[:3, 3] - G[:3, 3]))
-            hit = rot < 5.0 and trans < 0.5
-            hits += hit
-            errs.append(trans)
-            print(f"[ref] {name} {i}->{j}: rc={rc} rot={rot:.2f} "
-                  f"trans={trans:.3f} hit={hit} ({dt:.1f}s)", flush=True)
+        run_recalls, run_rmses = [], []
+        times, fails, timeouts = [], 0, 0
+        for run in range(args.runs):
+            hits, errs = 0, []
+            for i, j in pairs:
+                res_file = os.path.join(d, f"ref_result_{i}_{j}_r{run}.txt")
+                t0 = time.perf_counter()
+                try:
+                    proc = subprocess.run(
+                        [BIN, scene.scan_files[i], scene.scan_files[j],
+                         res_file],
+                        capture_output=True, timeout=args.timeout)
+                    rc = proc.returncode
+                except subprocess.TimeoutExpired:
+                    rc, timeouts = -1, timeouts + 1
+                dt = time.perf_counter() - t0
+                times.append(dt)
+                T = parse_result(res_file)
+                ok = rc == 0 and T is not None
+                if not ok:
+                    fails += 1
+                    T = np.eye(4)
+                G = scene.pair_ground_truth(i, j)
+                rot = resso.rotation_error_deg(G[:3, :3], T[:3, :3])
+                trans = float(np.linalg.norm(T[:3, 3] - G[:3, 3]))
+                hit = rot < 5.0 and trans < 0.5
+                hits += hit
+                errs.append(trans)
+                print(f"[ref] {name} r{run} {i}->{j}: rc={rc} rot={rot:.2f} "
+                      f"trans={trans:.3f} hit={hit} ({dt:.1f}s)", flush=True)
+            run_recalls.append(hits / len(pairs))
+            run_rmses.append(float(np.sqrt(np.mean(np.square(errs)))))
         report[name] = {
-            "pairs": len(pairs), "recall": hits / len(pairs),
-            "rmse_trans": float(np.sqrt(np.mean(np.square(errs)))),
+            "pairs": len(pairs),
+            "recall": float(np.mean(run_recalls)),
+            "recalls": run_recalls,
+            "rmse_trans": float(np.sqrt(np.mean(np.square(run_rmses)))),
+            "rmse_runs": run_rmses,
             "s_per_pair": float(np.median(times)),
+            "runs": args.runs,
             "failures": fails, "timeouts": timeouts,
         }
         with open(OUT, "w") as f:
             json.dump(report, f, indent=1)
         print(f"[ref] {name}: recall={report[name]['recall']:.3f} "
+              f"({'/'.join(f'{r:.2f}' for r in run_recalls)}) "
               f"median {report[name]['s_per_pair']:.1f}s/pair", flush=True)
 
     total = sum(r["pairs"] for r in report.values())

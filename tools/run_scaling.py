@@ -162,7 +162,12 @@ def run_two_process():
     dt = time.perf_counter() - t0
     ok = all(p.returncode == 0 for p in procs) and all(
         f"WORKER_OK pid={i}" in o for i, o in enumerate(outs))
-    return dict(wall_s=dt, ok=ok)
+    warm = None
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("WORKER_TIMING pid=0"):
+                warm = float(line.split("warm_s_per_pair=")[1].split()[0])
+    return dict(wall_s=dt, ok=ok, warm_s_per_pair=warm)
 
 
 def main():
@@ -183,7 +188,12 @@ def main():
             "the sharding that would ride ICI on a pod), the real-chip\n"
             "batch sweep (B distinct pairs vmapped through one chip), and\n"
             "the real 2-process jax.distributed group over localhost DCN.\n\n")
-        f.write("## Virtual 8-CPU mesh: pairs-axis sweep (tiny config)\n\n")
+        f.write("## Virtual 8-CPU mesh: pairs-axis sweep (tiny config) — "
+                "a CORRECTNESS/COMPILE check, not a scaling claim\n\n"
+                "All 8 virtual devices share one host's physical cores, "
+                "so the speedup column measures core-sharing, not chips; "
+                "treat any speedup > 1x as \"the GSPMD program "
+                "parallelizes\", nothing more.\n\n")
         f.write("| pairs axis | wall s/batch | pairs/s | all success |\n"
                 "|---|---|---|---|\n")
         base_pps = vrows[0]["pairs_per_s"]
@@ -215,10 +225,23 @@ def main():
                 "chip and its own sequential depth), which the virtual\n"
                 "sweep above exercises end-to-end.\n")
         f.write("\n## Two-process jax.distributed (localhost DCN)\n\n")
-        f.write(f"2-process group formation + sharded registration step: "
-                f"**{two['wall_s']:.1f} s wall-clock, ok={two['ok']}** "
-                "(tests/multihost_worker.py; includes both processes' JAX "
-                "startup and compile).\n")
+        f.write("| measure | value |\n|---|---|\n")
+        f.write(f"| cold: group formation + first sharded step + compile "
+                f"| {two['wall_s']:.1f} s wall |\n")
+        if two.get("warm_s_per_pair") is not None:
+            f.write(f"| warm steady state (3 sharded steps, fresh keys) | "
+                    f"**{two['warm_s_per_pair']:.3f} s/pair** "
+                    f"({1.0 / two['warm_s_per_pair']:.2f} pairs/s over the "
+                    "4-pair global batch, tiny config) |\n")
+        f.write(f"| all pairs succeeded | {two['ok']} |\n")
+        f.write("\ntests/multihost_worker.py: a real jax.distributed "
+                "process group over localhost DCN, 2 virtual CPU devices "
+                "per process, (pairs=4, intra=1) global mesh; each process "
+                "feeds only its addressable shard "
+                "(multihost.local_batch_to_global).  CPU-device caveat of "
+                "the virtual sweep applies to absolute numbers; the row "
+                "demonstrates warm steady-state multi-process throughput "
+                "accounting, not chip speed.\n")
         f.write("\nGenerated by `tools/run_scaling.py`.\n")
     print(f"wrote {OUT}")
 
