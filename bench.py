@@ -155,6 +155,7 @@ def main():
             "extract_trials": [int(x) for x in np.asarray(stats.trials)],
             "match_saturated": int(res.match_saturated),
             "pen_overflow": int(res.pen_overflow),
+            "cluster_truncated": int(res.cluster_truncated),
             "seed_success_rate": f"{seed_successes}/{B}",
             "seed_success_note": "rot err < 5 deg vs GT over the batch's "
                                  "distinct PRNG keys; C++ reference "

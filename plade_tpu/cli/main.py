@@ -268,11 +268,12 @@ def _run_batch(pairs_file, result_file, cfg, seed, device_batch,
                 # of the single-pair path; PairOutcome carries them so
                 # batch results are not silently degraded)
                 if outcome.cloud_capped or outcome.match_saturated \
-                        or outcome.pen_overflow:
+                        or outcome.pen_overflow or outcome.cluster_truncated:
                     print(f"pair ({target}, {source}): "
                           f"cloud_capped={outcome.cloud_capped} "
                           f"match_saturated={outcome.match_saturated} "
-                          f"pen_overflow={outcome.pen_overflow}",
+                          f"pen_overflow={outcome.pen_overflow} "
+                          f"cluster_truncated={outcome.cluster_truncated}",
                           file=sys.stderr)
                 if resume:
                     _append_state(state_file, target, source, T, ok)

@@ -223,6 +223,15 @@ class PladeConfig:
     max_query_pairs: int = 8192       #: padded source line-pair count
     max_target_pairs: int = 16384     #: padded target descriptor count
     max_matches: int = 32768          #: padded (query, target) match count
+    #: hypothesis rows entering pose clustering.  Matches are
+    #: front-compacted, so clustering a static prefix covers every live
+    #: hypothesis whenever the total fits (flagship pair: 7.3k total);
+    #: rows beyond the budget are dropped from clustering LOUDLY
+    #: (``cluster_truncated`` in results/info).  A static prefix replaces
+    #: round 4's dynamic lax.cond tier dispatch, which under vmap
+    #: (batched/sharded paths) executed BOTH branches — the full
+    #: 32768-row sweep ran for every lane and anti-scaled the batch tail.
+    max_cluster_hypotheses: int = 8192
     max_pose_clusters: int = 2048     #: pose bins kept after clustering
     max_penetration_tests: int = 8192   #: compacted penetration point-tests
 
@@ -254,6 +263,13 @@ class PladeConfig:
     #: can sit off-center; without re-centering the tight test punishes
     #: them and can overturn a correct coarse argmax)
     rescore_icp_iters: int = 3
+    #: re-centering ICP uses every n-th downsampled source point as a
+    #: correspondence query.  Point-to-plane Gauss-Newton at 8k
+    #: correspondences is statistically indistinguishable from 16k for a
+    #: 6-DoF fit; the NN passes are the rescore's dominant FLOPs (the
+    #: K modes x iters x |src| x |tgt| distance volume), so 2 halves the
+    #: rescore's ICP cost.  1 restores exhaustive correspondences.
+    rescore_icp_subsample: int = 2
     #: rescore divides aligned counts by the CO-VISIBLE count (source
     #: points inside the target's dilated occupancy at length_threshold)
     #: instead of cloud size — partial-overlap poses are not taxed for

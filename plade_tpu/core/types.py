@@ -126,10 +126,12 @@ class RegistrationResult(NamedTuple):
     overlap: jnp.ndarray     # () float32 — same convention as ``score``
     matched_planes: jnp.ndarray  # () int32
     success: jnp.ndarray     # () bool
-    match_saturated: jnp.ndarray  # () int32 — query rows whose per-query
-    # neighbor cap filled (match/matching.py)
+    match_saturated: jnp.ndarray  # () int32 — query rows that kept fewer
+    # descriptor radius hits than exist (match/matching.py; 0 = exact)
     pen_overflow: jnp.ndarray     # () int32 — penetration triples dropped
     # beyond max_penetration_tests (verify/penetration.py)
+    cluster_truncated: jnp.ndarray  # () int32 — valid hypotheses beyond
+    # the max_cluster_hypotheses prefix, excluded from pose clustering
 
 
 #: sentinel coordinate for padded points — far outside any scene

@@ -61,7 +61,8 @@ def result_specs():
     return RegistrationResult(transform=P(PAIRS), score=P(PAIRS),
                               overlap=P(PAIRS), matched_planes=P(PAIRS),
                               success=P(PAIRS), match_saturated=P(PAIRS),
-                              pen_overflow=P(PAIRS))
+                              pen_overflow=P(PAIRS),
+                              cluster_truncated=P(PAIRS))
 
 
 @functools.lru_cache(maxsize=8)
@@ -115,6 +116,7 @@ class PairOutcome(NamedTuple):
     cloud_capped: bool = False      # input subsampled to cfg.max_points
     match_saturated: int = 0        # dropped descriptor radius hits (rows)
     pen_overflow: int = 0           # dropped penetration tests
+    cluster_truncated: int = 0      # hypotheses beyond the cluster prefix
 
 
 def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
@@ -165,9 +167,11 @@ def register_array_pairs(cloud_pairs, cfg: PladeConfig, seed: int = 0,
         mp = np.asarray(res.matched_planes)
         ms = np.asarray(res.match_saturated)
         po = np.asarray(res.pen_overflow)
+        ct = np.asarray(res.cluster_truncated)
         for i in range(min(B0, len(capped) - start)):
             results.append(PairOutcome(
                 T[i], bool(ok[i]), float(sc[i]), float(ov[i]), int(mp[i]),
                 cloud_capped=cap_flags[start + i],
-                match_saturated=int(ms[i]), pen_overflow=int(po[i])))
+                match_saturated=int(ms[i]), pen_overflow=int(po[i]),
+                cluster_truncated=int(ct[i])))
     return results

@@ -156,10 +156,10 @@ class _State(NamedTuple):
     done: jnp.ndarray          # () bool
 
 
-def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
-                            t_sub: int = 1, cc_iters_tpu: int = 256):
-    """Keep the inlier points lying in the largest connected component of
-    the occupancy bitmap over in-plane coords ``uv`` (N, 2).
+def _trim_bitmap(uv, inlier, cell, grid: int, t_sub: int = 1):
+    """Phase 1 of the CC trim (per lane, vmapped): occupancy histogram of
+    the inlier points' in-plane cells.  Returns (occ_counts (grid*grid,),
+    flat cell index per point (N,)).
 
     The cell is stretched when the plane's extent exceeds ``grid`` cells —
     the reference sizes its bitmap exactly to extent/cell
@@ -186,7 +186,6 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
     # integers), replacing both the scatter-add (pathologically slow on
     # this runtime, CLAUDE.md) and the earlier O(N x cells) VPU
     # eq-reduce.  On CPU (tests, dry-runs) the O(N) scatter wins.
-    iota = jnp.arange(grid * grid, dtype=jnp.int32)
     rr = jnp.arange(grid, dtype=jnp.int32)
 
     def _hist_mxu(ij_s, ins):
@@ -205,64 +204,85 @@ def _largest_component_mask(uv, inlier, cell, grid: int, cc_iters: int,
     occ_counts = jax.lax.platform_dependent(ij[::t_sub], in_sub,
                                             tpu=_hist_mxu,
                                             default=_hist_scatter)
+    return occ_counts, flat
 
-    def _cc_jnp(occ_counts):
-        # HLO fallback (CPU tests, dry-runs): close + 8-neighbor
-        # min-label propagation with pointer jumps (each jump squares the
-        # effective propagation distance)
-        occ = (occ_counts > 0).reshape(grid, grid)
 
-        def cross(b, op, pad_val):
-            # morphological close with the cross structuring element
-            # (DilateCross/ErodeCross, BitmapPrimitiveShape.cpp:133-141)
-            p = jnp.pad(b, 1, constant_values=pad_val)
-            return op(op(op(op(b, p[:-2, 1:-1]), p[2:, 1:-1]),
-                         p[1:-1, :-2]), p[1:-1, 2:])
+def _cc_labels_hlo(occ_counts, grid: int, cc_iters: int):
+    """HLO CC fallback (CPU tests, dry-runs): close + 8-neighbor
+    min-label propagation with pointer jumps (each jump squares the
+    effective propagation distance).  (grid*grid,) counts -> labels."""
+    occ = (occ_counts > 0).reshape(grid, grid)
 
-        closed = cross(cross(occ, jnp.logical_or, False),
-                       jnp.logical_and, True) | occ
-        idx = jnp.arange(grid * grid, dtype=jnp.int32).reshape(grid, grid)
-        inf_label = jnp.int32(grid * grid)
-        labels0 = jnp.where(closed, idx, inf_label)
+    def cross(b, op, pad_val):
+        # morphological close with the cross structuring element
+        # (DilateCross/ErodeCross, BitmapPrimitiveShape.cpp:133-141)
+        p = jnp.pad(b, 1, constant_values=pad_val)
+        return op(op(op(op(b, p[:-2, 1:-1]), p[2:, 1:-1]),
+                     p[1:-1, :-2]), p[1:-1, 2:])
 
-        def prop(_, lab):
-            p = jnp.pad(lab, ((1, 1), (0, 0)), constant_values=inf_label)
-            m = jnp.minimum(jnp.minimum(p[:-2], p[1:-1]), p[2:])
-            p = jnp.pad(m, ((0, 0), (1, 1)), constant_values=inf_label)
-            m = jnp.minimum(jnp.minimum(p[:, :-2], p[:, 1:-1]), p[:, 2:])
-            m = jnp.where(closed, m, inf_label)
-            flat = m.reshape(-1)
-            for _ in range(4):
-                safe = jnp.minimum(flat, grid * grid - 1)
-                flat = jnp.minimum(
-                    flat, jnp.where(flat < inf_label, flat[safe], inf_label))
-            return flat.reshape(grid, grid)
+    closed = cross(cross(occ, jnp.logical_or, False),
+                   jnp.logical_and, True) | occ
+    idx = jnp.arange(grid * grid, dtype=jnp.int32).reshape(grid, grid)
+    inf_label = jnp.int32(grid * grid)
+    labels0 = jnp.where(closed, idx, inf_label)
 
-        return jax.lax.fori_loop(0, cc_iters, prop, labels0)
+    def prop(_, lab):
+        p = jnp.pad(lab, ((1, 1), (0, 0)), constant_values=inf_label)
+        m = jnp.minimum(jnp.minimum(p[:-2], p[1:-1]), p[2:])
+        p = jnp.pad(m, ((0, 0), (1, 1)), constant_values=inf_label)
+        m = jnp.minimum(jnp.minimum(p[:, :-2], p[:, 1:-1]), p[:, 2:])
+        m = jnp.where(closed, m, inf_label)
+        flat = m.reshape(-1)
+        for _ in range(4):
+            safe = jnp.minimum(flat, grid * grid - 1)
+            flat = jnp.minimum(
+                flat, jnp.where(flat < inf_label, flat[safe], inf_label))
+        return flat.reshape(grid, grid)
 
-    def _cc_pallas(occ_counts):
-        # one fused kernel: the stitched-HLO close+CC was ~80 sequential
-        # tiny-grid ops per round and ~60% of extraction wall time
-        # (kernels/cc.py); in-VMEM iterations make pointer jumps moot.
-        # Iteration count from cfg.bitmap_cc_iters_tpu (the HLO fallback
-        # above uses cfg.bitmap_cc_iters — different algorithms, separate
-        # knobs)
-        from ..kernels.cc import close_and_label
-        return close_and_label(occ_counts.reshape(grid, grid),
-                               iters=cc_iters_tpu)
+    return jax.lax.fori_loop(0, cc_iters, prop, labels0).reshape(-1)
 
-    labels = jax.lax.platform_dependent(occ_counts, tpu=_cc_pallas,
-                                        default=_cc_jnp)
-    # component sizes: per-cell occupancy (already histogrammed) summed by
-    # the cell's component label — a (cells x cells) eq-reduce, never a
-    # per-point pass
-    flat_labels = labels.reshape(-1)
+
+def _trim_select(occ_counts, flat_labels, flat, inlier, grid: int):
+    """Phase 3 (per lane, vmapped): keep inliers of the largest component.
+    Component sizes are the per-cell occupancy summed by label — a
+    (cells x cells) eq-reduce, never a per-point pass."""
+    iota = jnp.arange(grid * grid, dtype=jnp.int32)
     comp_counts = jnp.sum(
         jnp.where(flat_labels[:, None] == iota[None, :],
                   occ_counts[:, None], 0), axis=0)
     best_label = iota[jnp.argmax(comp_counts)]
     point_labels = flat_labels[flat]
     return inlier & (point_labels == best_label)
+
+
+def _largest_component_masks(uv, inl, cell, grid: int, cc_iters: int,
+                             t_sub: int = 1, cc_iters_tpu: int = 256):
+    """CC trim for ALL lanes: uv (N, A, 2), inl (N, A) -> kept (N, A).
+
+    Phases 1 and 3 vmap per lane; the CC labeling itself runs as ONE
+    lane-batched Pallas launch on TPU (kernels/cc.py
+    close_and_label_lanes) — under the extraction's lane/cloud/pair
+    vmaps, per-lane kernel instances serialized (A x 2 clouds x B pairs
+    launches per greedy round)."""
+    occ, flat = jax.vmap(
+        lambda uv_a, in_a: _trim_bitmap(uv_a, in_a, cell, grid, t_sub),
+        in_axes=1)(uv, inl)                                 # (A, g*g), (A, N)
+
+    def _cc_pallas(occ):
+        from ..kernels.cc import close_and_label_lanes
+        A = occ.shape[0]
+        return close_and_label_lanes(
+            occ.reshape(A, grid, grid),
+            iters=cc_iters_tpu).reshape(A, grid * grid)
+
+    def _cc_hlo(occ):
+        return jax.vmap(lambda o: _cc_labels_hlo(o, grid, cc_iters))(occ)
+
+    labels = jax.lax.platform_dependent(occ, tpu=_cc_pallas,
+                                        default=_cc_hlo)
+    return jax.vmap(
+        lambda o, la, fl, in_a: _trim_select(o, la, fl, in_a, grid),
+        in_axes=(0, 0, 0, 1), out_axes=1)(occ, labels, flat, inl)
 
 
 def build_extract_fn(cfg: PladeConfig, num_points: int,
@@ -605,11 +625,9 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
             uv = jnp.stack([jnp.dot(points, uvec.T, precision=hi),
                             jnp.dot(points, vvec.T, precision=hi)], axis=-1)
             cc_eff = 0 if "cc" in _ABLATE else cc_iters
-            kept = jax.vmap(
-                lambda uv_a, in_a: _largest_component_mask(
-                    uv_a, in_a, bitmap_eps, grid, cc_eff, T_SUB,
-                    cfg.bitmap_cc_iters_tpu),
-                in_axes=1, out_axes=1)(uv, inl)                  # (N, A)
+            kept = _largest_component_masks(
+                uv, inl, bitmap_eps, grid, cc_eff, T_SUB,
+                cfg.bitmap_cc_iters_tpu)                         # (N, A)
 
         # exclusive assignment: sequential greedy over lanes in priority
         # (exact-count) order — each lane claims its kept points not yet
@@ -759,7 +777,14 @@ def build_extract_fn(cfg: PladeConfig, num_points: int,
         exh_cond = ((log_pfail(support_now.astype(jnp.float32), drawn)
                      <= log_overlook) | no_room) & (n_acc == 0) & ~pending
         exh_streak = jnp.where(exh_cond, state.exh_streak + 1, 0)
-        exhausted = exh_streak >= 2
+        # flat mode fires on the first exhausted round: the race the
+        # 2-streak guarded (a fresh >= threshold draw arriving as the
+        # bound fires) is covered because pending_pool/est_lcb are
+        # computed AFTER this round's draws merge into the pool — any
+        # such draw holds termination open by itself.  Staged mode keeps
+        # the streak (its halving cascade re-checks dormant state, where
+        # the lcb guard alone was measured too eager in round 3)
+        exhausted = exh_streak >= (1 if cfg.ransac_flat_support else 2)
         need_more = num_planes < min_planes
         can_halve = (min_support > floor_support) & (state.trials < max_trials)
         halve = exhausted & need_more & can_halve

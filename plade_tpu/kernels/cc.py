@@ -25,7 +25,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(G: int, iters: int):
+def _make_kernel(G: int, iters: int, lanes: int = 1):
+    """Kernel over ``lanes`` independent (G, G) grids laid side by side as
+    one (G, lanes*G) array.  Column edges are patched PER LANE (col mod G),
+    so shifts never propagate across lane boundaries — one kernel launch
+    labels every lane's grid, replacing ``lanes`` sequential launches
+    (under the extraction's lane/cloud/pair vmaps the per-instance launches
+    serialized; measured a double-digit ms per greedy round at B=8)."""
     INF = G * G  # plain int: a jnp scalar here would be captured as a
     # trace-time constant, which pallas_call rejects
 
@@ -35,12 +41,14 @@ def _make_kernel(G: int, iters: int):
         # masks are 0/1 integers combined with min/max and arithmetic
         # selects
         occ = occ_ref[...]
-        filled = jnp.minimum(occ, 1)                      # 0/1 (G, G)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        W = lanes * G
+        filled = jnp.minimum(occ, 1)                      # 0/1 (G, W)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (G, W), 0)
+        colsw = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+        cols = colsw - (colsw // G) * G                   # col within lane
         row_lo = jnp.minimum(rows, 1)                     # 0 on row 0
         row_hi = jnp.minimum(G - 1 - rows, 1)
-        col_lo = jnp.minimum(cols, 1)
+        col_lo = jnp.minimum(cols, 1)                     # 0 on lane edge
         col_hi = jnp.minimum(G - 1 - cols, 1)
 
         def sh(x, dr, dc, fill):
@@ -83,6 +91,27 @@ def _make_kernel(G: int, iters: int):
         lab_ref[...] = jax.lax.fori_loop(0, iters, body, lab0)
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def close_and_label_lanes(occ_counts: jnp.ndarray, iters: int = 256,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(L, G, G) int32 occupancy counts -> (L, G, G) int32 labels, all
+    lanes in ONE kernel launch (see _make_kernel lane packing).  Per-lane
+    label semantics identical to :func:`close_and_label`."""
+    L, G, _ = occ_counts.shape
+    packed = occ_counts.astype(jnp.int32).transpose(1, 0, 2).reshape(
+        G, L * G)
+    out = pl.pallas_call(
+        _make_kernel(G, iters, lanes=L),
+        in_specs=[pl.BlockSpec((G, L * G), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, L * G), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, L * G), jnp.int32),
+        interpret=interpret,
+    )(packed)
+    return out.reshape(G, L, G).transpose(1, 0, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))

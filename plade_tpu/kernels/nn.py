@@ -118,3 +118,75 @@ def min_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray,
     """Per-query squared distance to the nearest reference point."""
     d, _ = nearest_neighbor(queries, refs, bq=bq, bt=bt, interpret=interpret)
     return d
+
+
+def _oriented_kernel(cos_thresh, q_ref, rx_ref, ry_ref, rz_ref,
+                     nx_ref, ny_ref, nz_ref, d_ref):
+    j = pl.program_id(1)
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    nx = q_ref[:, 3:4]
+    ny = q_ref[:, 4:5]
+    nz = q_ref[:, 5:6]
+    dx = qx - rx_ref[:]
+    dy = qy - ry_ref[:]
+    dz = qz - rz_ref[:]
+    d2 = dx * dx + dy * dy + dz * dz
+    # cos_thresh is a plain python float (a jnp scalar would be captured
+    # as a trace-time constant, which pallas_call rejects — see cc.py)
+    dot = nx * nx_ref[:] + ny * ny_ref[:] + nz * nz_ref[:]
+    d2 = jnp.where(dot >= cos_thresh, d2, jnp.float32(jnp.inf))
+    tile_min = jnp.min(d2, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        d_ref[:] = tile_min
+
+    @pl.when(j != 0)
+    def _():
+        d_ref[:] = jnp.minimum(d_ref[:], tile_min)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("normal_cos", "bq", "bt", "interpret"))
+def oriented_min_dist_sq(queries: jnp.ndarray, qnormals: jnp.ndarray,
+                         refs: jnp.ndarray, rnormals: jnp.ndarray,
+                         normal_cos: float, bq: int = 256, bt: int = 2048,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Per-query squared distance to the nearest reference point whose
+    normal AGREES (``qn . rn >= normal_cos``) — the oriented-overlap hot
+    op (verify/overlap.py).  Same VPU diff-form tiling as the plain
+    kernel plus three broadcast multiplies for the normal dot; the jnp
+    formulation this replaces paid 6-pass HIGHEST matmuls AND a full
+    (Q, T) where/min in HBM (measured the batched tail's largest
+    unit-saturating stage).
+
+    queries/qnormals: (Q, 3); refs/rnormals: (T, 3) f32.  Padded ref rows
+    (BIG coords) never win; refs with zero normals never pass the gate
+    when ``normal_cos > 0``.
+    """
+    Q = queries.shape[0]
+    T = refs.shape[0]
+    nq = pl.cdiv(Q, bq)
+    nt = pl.cdiv(T, bt)
+    q6 = jnp.concatenate([queries, qnormals], axis=1)
+    qp = jnp.pad(q6, ((0, nq * bq - Q), (0, 0)), constant_values=_PAD)
+    rp = jnp.pad(refs, ((0, nt * bt - T), (0, 0)), constant_values=_PAD)
+    np_ = jnp.pad(rnormals, ((0, nt * bt - T), (0, 0)))
+    rows = [rp[:, 0], rp[:, 1], rp[:, 2], np_[:, 0], np_[:, 1], np_[:, 2]]
+    rows = [r.reshape(1, -1) for r in rows]
+
+    row_spec = pl.BlockSpec((1, bt), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    d = pl.pallas_call(
+        functools.partial(_oriented_kernel, float(normal_cos)),
+        grid=(nq, nt),
+        in_specs=[pl.BlockSpec((bq, 6), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)] + [row_spec] * 6,
+        out_specs=pl.BlockSpec((bq, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq * bq, 1), jnp.float32),
+        interpret=interpret,
+    )(qp, *rows)
+    return d[:Q, 0]

@@ -60,11 +60,17 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
       approximate top-(2k+4) when many near-tie distances crowd one sort
       tile.
 
-    Both are surfaced EXACTLY by ``saturated``: the true radius-hit count
+    Both are CORRECTED and surfaced exactly: the true radius-hit count
     per row is an extra cheap reduction over the block distance matrix
-    (materialized anyway), and ``saturated`` counts rows where fewer hits
-    were kept than exist.  Zero saturation certifies the match set
-    radius-exact vs the reference search.
+    (materialized anyway); rows that kept fewer hits than exist (up to
+    128 of them) get an exact second pass — their full distance rows are
+    recomputed and exactly sorted, which is trivial at that row count
+    (measured: the polyhedron pair's descriptor ties lost hits on ~30
+    rows to the sort unit's tile reduction; the patch zeroes that).
+    ``saturated`` counts the rows still short AFTER the patch — nonzero
+    only when a row's true hit count exceeds ``per_query`` or more than
+    128 rows needed patching.  Zero saturation certifies the match set
+    radius-exact vs the reference's unbounded search.
     """
     Q = query.desc.shape[0]
     T = target.desc.shape[0]
@@ -76,7 +82,11 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
     tt = jnp.sum(td * td, axis=-1)
     k = min(per_query, T)
 
-    k_over = min(2 * k + 4, T)
+    # modest oversample: the exact patch pass below catches and fixes
+    # EVERY row where the approximation dropped a hit, so the oversample
+    # only controls how many rows need patching (PATCH budget), not
+    # correctness; k+8 halves the sort-unit volume vs the former 2k+4
+    k_over = min(k + 8, T)
 
     def body(_, qblock):
         qq = jnp.sum(qblock * qblock, axis=-1, keepdims=True)
@@ -103,6 +113,24 @@ def match_descriptors(query: PairDescriptors, target: PairDescriptors,
     vals = vals.reshape(nblocks * block, k)[:Q]
     idx = idx.reshape(nblocks * block, k)[:Q]
     nh = nh.reshape(nblocks * block)[:Q]
+
+    # exact patch pass (docstring): rows that kept fewer radius hits than
+    # truly exist get their full distance row recomputed and EXACTLY
+    # sorted — a (PATCH, T) matmul + top_k, trivial at PATCH=128 rows
+    PATCH = min(128, Q)
+    kept0 = jnp.sum((vals <= r2).astype(jnp.int32), axis=1)
+    bad = nh > kept0
+    bidx = jnp.nonzero(bad, size=PATCH, fill_value=Q)[0]
+    qb = query.desc[jnp.minimum(bidx, Q - 1)]
+    d2b = jnp.sum(qb * qb, -1, keepdims=True) \
+        - 2.0 * jnp.dot(qb, td.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) \
+        + tt[None, :]
+    nvb, ib = jax.lax.top_k(-d2b, k)
+    # padding entries carry bidx == Q (out of bounds) and drop; real rows
+    # write their exact top-k
+    vals = vals.at[bidx].set(-nvb, mode="drop")
+    idx = idx.at[bidx].set(ib, mode="drop")
 
     hit = vals <= r2                                     # (Q, k)
     hi = hit.astype(jnp.int32)
@@ -180,17 +208,18 @@ class Clusters(NamedTuple):
 
 def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
                   dist_tol, euler_tol, max_clusters: int,
-                  chunk: int = 1024, small: int = 4096) -> Clusters:
+                  chunk: int = 1024) -> Clusters:
     """Exact single-linkage pose clustering over the 6-D (t, euler)
     embedding, in fixed shape.
 
-    The padded hypothesis buffer is usually far larger than the live
-    match count (valid matches are compacted to the FRONT by
-    match_descriptors), and each sweep pays O(H^2) distance blocks — so
-    when the live count fits in the first ``small`` rows, a ``lax.cond``
-    dispatches to an identical program over that prefix (64x fewer
-    distance FLOPs at the default shapes).  Representatives and labels
-    are global row indices either way.
+    Callers bound the hypothesis buffer to a static prefix
+    (cfg.max_cluster_hypotheses) before calling — valid matches are
+    front-compacted by match_descriptors/stitch_hypotheses, so the prefix
+    covers every live hypothesis whenever the total fits (overflow is
+    counted loudly upstream).  One code path, no data-dependent
+    dispatch: a dynamic ``lax.cond`` tier (round 4) executed BOTH
+    branches under vmap, running the full-buffer sweep for every batch
+    lane.
 
     Matches the reference semantics (ClusterTransformation +
     EnforceSimilarity, util.cpp:1232-1277): hypotheses are linked when
@@ -203,31 +232,13 @@ def cluster_poses(R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
     component minimum); clusters rank by size descending (the reference's
     sort at util.cpp:337-355).
 
-    TPU shape: min-label propagation over the implicit adjacency.  Each
-    sweep computes the (chunk x H) translation/Euler distance blocks on
-    the MXU and takes the min label over each row's neighbors; two pointer
-    jumps (labels <- labels[labels]) square the effective propagation
-    distance; a while_loop runs sweeps until the labeling is a fixed point
-    — exact connected components, no grid-boundary splits.  Dense clumps
-    converge in 2-3 sweeps.
+    TPU shape: min-label propagation over the adjacency (materialized
+    once for H <= 8192; recomputed in (chunk x H) MXU blocks above
+    that); two pointer jumps (labels <- labels[labels]) per sweep square
+    the effective propagation distance; a while_loop runs sweeps until
+    the labeling is a fixed point — exact connected components, no
+    grid-boundary splits.  Dense clumps converge in 2-3 sweeps.
     """
-    H = R.shape[0]
-    tiers = [s for s in (small, 4 * small) if s < H]
-    if tiers:
-        count = jnp.sum(valid.astype(jnp.int32))
-
-        def impl_at(s):
-            return lambda _: _cluster_impl(
-                R[:s], t[:s], valid[:s], dist_tol, euler_tol,
-                max_clusters, chunk)
-
-        expr = lambda _: _cluster_impl(R, t, valid, dist_tol, euler_tol,
-                                       max_clusters, chunk)
-        for s in reversed(tiers):
-            expr = (lambda s=s, inner=expr: (
-                lambda _: jax.lax.cond(count <= s, impl_at(s), inner,
-                                       None)))()
-        return expr(None)
     return _cluster_impl(R, t, valid, dist_tol, euler_tol, max_clusters,
                          chunk)
 

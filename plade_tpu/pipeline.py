@@ -239,10 +239,15 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         R, t, hyp_valid, total_matches = matching.stitch_hypotheses(
             segments)
 
-    # cluster at half the length/angle thresholds (util.cpp:331)
+    # cluster at half the length/angle thresholds (util.cpp:331).  The
+    # hypothesis buffer is front-compacted, so clustering the static
+    # prefix covers every live hypothesis up to the budget; overflow is
+    # counted loudly (cluster_truncated)
     euler_tol = math.sqrt(cfg.angle_threshold / 2.0)
+    HB = min(cfg.max_cluster_hypotheses, R.shape[0])
+    cluster_truncated = jnp.maximum(total_matches - HB, 0)
     clusters = matching.cluster_poses(
-        R, t, hyp_valid, length_threshold / 2.0, euler_tol,
+        R[:HB], t[:HB], hyp_valid[:HB], length_threshold / 2.0, euler_tol,
         cfg.max_pose_clusters)
     cR = R[clusters.rep]
     ct = t[clusters.rep]
@@ -363,9 +368,10 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         # suffice — point-to-plane Gauss-Newton on planar scenes
         # converges from <= lt/2 error in 2-3 steps
         from .refine.icp import refine_icp
+        icp_sub = max(1, cfg.rescore_icp_subsample)
         Rr, tr, _, _ = jax.vmap(
             lambda R0, t0: refine_icp(
-                R0, t0, src.ds.points, src.ds.mask,
+                R0, t0, src.ds.points[::icp_sub], src.ds.mask[::icp_sub],
                 tgt.ds.points, tgt.ds.normals, dsd,
                 cfg.rescore_icp_iters))(sR[top_idx], st[top_idx])
         r_fine = cfg.rescore_radius_factor * dsd / cfg.downsample_factor
@@ -440,6 +446,7 @@ def _register_pair_impl(tgt: PreparedCloud, src: PreparedCloud, dparams,
         success=success,
         match_saturated=matches.saturated,
         pen_overflow=pen_overflow,
+        cluster_truncated=cluster_truncated,
     )
 
 
@@ -514,6 +521,7 @@ def build_register_device_fn(cfg: PladeConfig, num_points: int,
             success=success,
             match_saturated=res.match_saturated,
             pen_overflow=res.pen_overflow,
+            cluster_truncated=res.cluster_truncated,
         )
         return (out, stats) if with_stats else out
 
@@ -642,6 +650,7 @@ def register_clouds(tgt_points, tgt_normals, src_points, src_normals,
     info["success"] = bool(result.success)
     info["match_saturated"] = int(result.match_saturated)
     info["pen_overflow"] = int(result.pen_overflow)
+    info["cluster_truncated"] = int(result.cluster_truncated)
     if swapped:
         T = np.linalg.inv(T)
     return T, info
@@ -703,6 +712,7 @@ def register_with_planes(tgt_points, tgt_normals, src_points, src_normals,
     info["success"] = bool(result.success)
     info["match_saturated"] = int(result.match_saturated)
     info["pen_overflow"] = int(result.pen_overflow)
+    info["cluster_truncated"] = int(result.cluster_truncated)
     return np.asarray(result.transform), info
 
 

@@ -69,12 +69,25 @@ def build_occupancy(tgt_points, tmask, cell, grid: int = 256):
 def approx_overlap_counts(bitmap, origin, cell, R, t, src_points, smask,
                           grid: int = 256):
     """(C,) counts of source points whose dilated voxel test passes, for all
-    candidates at once (one big gather)."""
+    candidates at once (one big gather).
+
+    Out-of-grid queries are CLAMPED to the boundary cells, not dropped.
+    This is what makes the dilated test a true superset of the exact
+    radius test: a query just below the grid origin can still have a true
+    neighbor at the boundary (the target's own extreme point defines the
+    origin), and since ``cell >= inlier radius`` any such neighbor's cell
+    is the clamped boundary cell itself — dropping those queries broke
+    both the phase-2 bound ("approx >= exact" failed in the boundary
+    shell) and the co-visible denominator (an alias pushing points
+    OUTSIDE the target's bbox got aligned > covisible and a ratio > 1,
+    measured flipping the identity-pair argmax to a 120-degree cube
+    symmetry).  Far-away queries clamp onto boundary cells and can only
+    over-count — safe for an upper bound and for a denominator."""
     q = jnp.einsum("cij,sj->csi", R, src_points) + t[:, None, :]  # (C,S,3)
-    ijk = jnp.floor((q - origin) / cell).astype(jnp.int32)
-    inb = jnp.all((ijk >= 0) & (ijk < grid), axis=-1)
+    ijk = jnp.clip(jnp.floor((q - origin) / cell).astype(jnp.int32),
+                   0, grid - 1)
     flat = (ijk[..., 0] * grid + ijk[..., 1]) * grid + ijk[..., 2]
-    hit = bitmap[jnp.where(inb, flat, 0)] & inb & smask[None, :]
+    hit = bitmap[flat] & smask[None, :]
     return jnp.sum(hit.astype(jnp.int32), axis=1)
 
 
@@ -84,9 +97,26 @@ def _unit(v):
 
 def oriented_min_dist_sq(q, qn, refs, rn, normal_cos, block: int = 2048):
     """Per-query squared distance to the nearest reference point whose
-    normal agrees (``qn . rn >= normal_cos``).  Both the distance cross
-    term and the normal-dot block are MXU matmuls; reference blocks stream
-    through a scan so memory stays at Q x block."""
+    normal agrees (``qn . rn >= normal_cos``).
+
+    On TPU: the Pallas oriented NN kernel (kernels/nn.py — VPU diff-form
+    distances + in-kernel normal gate; the jnp fallback below pays 6-pass
+    HIGHEST matmuls AND a full (Q, block) where/min per block, measured
+    the batched tail's largest unit-saturating stage).  The jnp blocked
+    scan remains the CPU/dry-run path."""
+    def _pallas(q, qn, refs, rn):
+        from ..kernels.nn import oriented_min_dist_sq as k
+        return k(q, qn, refs, rn, float(normal_cos))
+
+    def _jnp(q, qn, refs, rn):
+        return _oriented_min_dist_sq_jnp(q, qn, refs, rn, normal_cos, block)
+
+    return jax.lax.platform_dependent(q, qn, refs, rn,
+                                      tpu=_pallas, default=_jnp)
+
+
+def _oriented_min_dist_sq_jnp(q, qn, refs, rn, normal_cos,
+                              block: int = 2048):
     n = refs.shape[0]
     pad = (-n) % block
     if pad:

@@ -104,8 +104,8 @@ def main():
               f"saturated_rows={int(m.saturated)}", end="")
         t0 = time.perf_counter()
         for i in range(5):
-            m = f(dataclasses.replace(
-                sd, desc=sd.desc + jnp.float32(1e-9 * (i + 1))), td)
+            m = f(sd._replace(desc=sd.desc + jnp.float32(1e-9 * (i + 1))),
+                  td)
             int(m.count)
         print(f"  {1e3 * (time.perf_counter() - t0) / 5:.1f} ms/call")
 
