@@ -121,15 +121,15 @@ class PladeConfig:
     #: acceptance per round.  A wide check set drains the pool of noisy
     #: subset estimates many lanes per round (measured: the extraction
     #: tail spent 11 rounds debunking a ~30-entry pool at 2 checks/round)
-    ransac_check_lanes: int = 8
+    ransac_check_lanes: int = 16
     #: checked lanes that proceed to refit + CC-trim + acceptance per
-    #: round.  Per-lane refit/trim is the round's marginal cost, but with
-    #: the candidate-pool dedup (extract/ransac.py) the check lanes hold
-    #: DISTINCT planes, so wide accept waves actually fill: 4 lanes
-    #: measured 8 rounds vs 15 at 2 lanes on the polyhedron cloud at
-    #: equal wall time — and fewer rounds is what batched/lockstep
-    #: extraction depth is made of
-    ransac_exact_lanes: int = 4
+    #: round.  Per-lane refit/trim used to be the round's marginal cost;
+    #: with the pool dedup (check lanes hold DISTINCT planes) and the
+    #: lane-batched CC kernel (one launch for all lanes), wide accept
+    #: waves are nearly free and rounds are what batched/lockstep
+    #: extraction depth is made of: 6 lanes + 16 check lanes measured
+    #: 5 rounds / 0.402 s single-pair vs 7 rounds / 0.452 at 4+8
+    ransac_exact_lanes: int = 6
     #: two exact lanes conflict (only the larger is accepted this round)
     #: when they share more than this fraction of the smaller inlier set
     ransac_conflict_frac: float = 0.3

@@ -53,7 +53,7 @@ def main():
         ("rescore_icp1", dict(rescore_icp_iters=1)),
         ("no_pen", dict(enable_penetration_filter=False)),
         ("exact_k16", dict(overlap_exact_k=16)),
-        ("no_degraded+line0", dict(min_line_confidence=0.0)),  # = default
+        ("icp_sub1", dict(rescore_icp_subsample=1)),
     ]
     for name, repl in variants:
         cfg = dataclasses.replace(PladeConfig(), **repl)
