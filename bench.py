@@ -102,6 +102,23 @@ def main():
     batch_dt = (time.perf_counter() - t0) / (bruns * B)
     batch_ok = bool(np.asarray(rb.success).all())
 
+    # like-for-like sequential baseline for the batch comparison: the SAME
+    # B pairs registered one at a time through the non-vmapped program
+    # (each call pays its own ~30-45 ms tunnel dispatch, as real
+    # sequential use would).  batched vs THIS mean is the honest
+    # "does batching pay off" comparison; single_s_per_pair above is the
+    # hardest pair (polyhedron) alone.
+    fn1 = jax.jit(build_register_device_fn(cfg, pad))
+    pair_list = list(zip(tgt_list, src_list))
+    for tg, sr in pair_list:
+        hard_sync(fn1(tg, sr, jax.random.PRNGKey(0)))  # compile/warm
+    t0 = time.perf_counter()
+    sruns = 2
+    for i in range(sruns):
+        for j, (tg, sr) in enumerate(pair_list):
+            hard_sync(fn1(tg, sr, jax.random.PRNGKey(base + 200 + i * B + j)))
+    seq_dt = (time.perf_counter() - t0) / (sruns * B)
+
     # multi-seed robustness (the C++ reference measured 7/10 on this pair,
     # BASELINE.md): rerun the single polyhedron pair with B distinct PRNG
     # keys — score each pose against ground truth
@@ -145,6 +162,11 @@ def main():
                           "scan pairs), real straggler variance",
             "single_pairs_per_s": round(single_pairs_per_s, 4),
             "single_s_per_pair": round(dt, 4),
+            "sequential_mean_s_per_pair": round(seq_dt, 4),
+            "sequential_note": "the batch's 8 pairs registered one at a "
+                               "time (non-vmapped, per-call dispatch) — "
+                               "the like-for-like sequential baseline "
+                               "for batched_s_per_pair",
             "rot_err_deg": round(rot_err_deg, 3),
             "trans_err": round(trans_err, 4),
             "success": bool(res.success),

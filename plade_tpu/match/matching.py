@@ -38,7 +38,7 @@ class Matches(NamedTuple):
 
 def match_descriptors(query: PairDescriptors, target: PairDescriptors,
                       radius: float, max_matches: int,
-                      block: int = 256, per_query: int = 64) -> Matches:
+                      block: int = 512, per_query: int = 64) -> Matches:
     """All (query, target) descriptor pairs within ``radius`` (8-D
     Euclidean), compacted into a fixed-size buffer.
 

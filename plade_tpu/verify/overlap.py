@@ -30,18 +30,28 @@ import jax.numpy as jnp
 from ..knn.bruteforce import min_dist_sq
 
 
-def build_occupancy(tgt_points, tmask, cell, grid: int = 256):
-    """Dense dilated occupancy bitmap of the target cloud.
+def build_occupancy(tgt_points, tmask, radius, grid: int = 256,
+                    cell_divisor: int = 1):
+    """Dense dilated occupancy bitmap of the target cloud — a SUPERSET of
+    the radius-``radius`` neighbor test for clamped queries.
 
     Returns (bitmap (grid^3,) bool, origin (3,), cell ()).
-    ``cell`` is stretched when the cloud exceeds ``grid`` cells per side —
-    phase-2 exactness is unaffected (dilation stays a superset test).
+
+    ``cell_divisor`` trades bound tightness for dilation passes: the cell
+    is ``radius / cell_divisor`` (stretched when the cloud exceeds
+    ``grid`` cells per side) and the bitmap dilates by ``cell_divisor``
+    cells per axis.  Superset proof: a query within ``radius`` of a
+    target differs by at most ceil(radius/cell) <= cell_divisor cells per
+    axis (cell >= radius/cell_divisor always).  divisor 1 bounds hits at
+    ~2x radius; divisor 2 at ~1.5x — a tighter phase-1 bound means fewer
+    exact chunks in the bound loop, which under vmap every batch lane
+    pays (the loop runs to the slowest lane).
     """
     big = jnp.float32(1e30)
     pmin = jnp.min(jnp.where(tmask[:, None], tgt_points, big), axis=0)
     pmax = jnp.max(jnp.where(tmask[:, None], tgt_points, -big), axis=0)
     extent = jnp.max(pmax - pmin)
-    cell = jnp.maximum(jnp.asarray(cell, jnp.float32),
+    cell = jnp.maximum(jnp.asarray(radius, jnp.float32) / cell_divisor,
                        extent / (grid - 1))
     ijk = jnp.clip(jnp.floor((tgt_points - pmin) / cell).astype(jnp.int32),
                    0, grid - 1)
@@ -61,8 +71,9 @@ def build_occupancy(tgt_points, tmask, cell, grid: int = 256):
             return b | fwd | bwd
         return f
 
-    for axis in range(3):
-        occ3 = dilate(axis)(occ3)
+    for _ in range(cell_divisor):
+        for axis in range(3):
+            occ3 = dilate(axis)(occ3)
     return occ3.reshape(-1), pmin, cell
 
 
@@ -224,7 +235,10 @@ def overlap_scores(R, t, cand_valid, src_points, src_count,
     tmask = jnp.arange(tgt_points.shape[0]) < tgt_count
     smask = jnp.arange(src_points.shape[0]) < src_count
     r = jnp.asarray(inlier_distance, jnp.float32)
-    bitmap, origin, cell = build_occupancy(tgt_points, tmask, r, grid)
+    # divisor 2: bound ~1.5x radius instead of ~2x — fewer bound-loop
+    # chunks, which every vmapped lane pays (see build_occupancy)
+    bitmap, origin, cell = build_occupancy(tgt_points, tmask, r, grid,
+                                           cell_divisor=2)
     counts = approx_overlap_counts(bitmap, origin, cell, R, t,
                                    src_points, smask, grid)
     denom = jnp.maximum(jnp.minimum(src_count, tgt_count), 1).astype(

@@ -249,8 +249,30 @@ def run_tests(tests: PenTests, R, t,
         per_test)
     tc = jax.tree.map(lambda x: x.reshape((nchunks, chunk) + x.shape[1:]),
                       padded)
-    pen = jax.lax.map(one_chunk, tuple(tc))
-    return pen.reshape(-1)[:K]
+    # valid tests are FRONT-COMPACTED (build_tests' nonzero), so chunks
+    # past ceil(n_valid/chunk) are all-padding: a while_loop skips them
+    # instead of computing-and-masking (the reference loop is exactly as
+    # long as its live tests, util.cpp:450-511; typical pairs fill a
+    # fraction of the max_tests budget)
+    n_valid = jnp.sum(tests.valid.astype(jnp.int32))
+    nlive = (n_valid + chunk - 1) // chunk
+
+    def cond(state):
+        i, _ = state
+        return i < nlive
+
+    def body(state):
+        i, out = state
+        tci = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i, keepdims=False),
+            tuple(tc))
+        res = one_chunk(tci)
+        return i + 1, jax.lax.dynamic_update_slice(out, res, (i * chunk,))
+
+    _, pen = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((nchunks * chunk,), jnp.bool_)))
+    return pen[:K]
 
 
 def rejected_candidates(tests: PenTests, penetrable, num_candidates: int):

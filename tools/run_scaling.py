@@ -216,14 +216,15 @@ def main():
             else:
                 f.write(f"| {r['B']} | {r['s_per_pair']:.3f} | "
                         f"{r['pairs_per_s']:.3f} | {r['success']} |\n")
-        f.write("\nBatching is near-flat on one chip: the pipeline is\n"
-                "latency-limited (PROFILE.md) and the batched while_loops\n"
-                "run to the slowest lane's round count, so vmap neither\n"
-                "helps nor hurts much; B=32 exceeds the single chip's\n"
-                "16G HBM at the 131k-point padding.  Production scaling\n"
-                "is the pairs axis over a MESH (each pairs-slot owns a\n"
-                "chip and its own sequential depth), which the virtual\n"
-                "sweep above exercises end-to-end.\n")
+        f.write("\nBatching is near-flat on one chip with a mild rising\n"
+                "slope: extraction amortizes (lockstep rounds), but the\n"
+                "tail's sort/gather/VPU stages are throughput-bound on\n"
+                "fixed-rate units, and the batched while_loops run to the\n"
+                "slowest lane's round count (PROFILE.md attribution).\n"
+                "B=32 fits HBM since round 5's smaller cluster buffers.\n"
+                "Production scaling is the pairs axis over a MESH (each\n"
+                "pairs-slot owns a chip and its own sequential depth),\n"
+                "which the virtual sweep above exercises end-to-end.\n")
         f.write("\n## Two-process jax.distributed (localhost DCN)\n\n")
         f.write("| measure | value |\n|---|---|\n")
         f.write(f"| cold: group formation + first sharded step + compile "
