@@ -180,62 +180,79 @@ def run_tests(tests: PenTests, R, t,
               tgt_plane_pts, tgt_plane_counts,
               src_coeffs, tgt_coeffs,
               search_radius, min_points: int, min_distance,
-              n_samples: int, chunk: int = 512, max_ratio: float = 5.0):
+              n_samples: int, chunk: int = 512, max_ratio: float = 5.0,
+              small_points: int = 512):
     """Phase 2b: the point-counting walk for each compacted test.
+
+    Tests whose BOTH planes have at most ``small_points`` downsampled
+    points run in a separate pass over sliced (k, small_points, 3)
+    buffers — per-plane points are front-packed, so the slice is exact —
+    cutting the distance-block volume ~4x for those tests (the full
+    ``max_plane_points`` buffer is mostly padding for small planes;
+    measured plane counts on the flagship span 200..2048).
 
     Returns per-test ``penetrable`` (K,) bool.
     """
     ns = src_coeffs[:, :3]
     ds = src_coeffs[:, 3]
 
-    def one_chunk(tc):
-        cand, src, tgt, start, direc, length, valid = tc
-        Rt = R[cand]                                           # (k,3,3)
-        tt = t[cand]
-        cloud1 = jnp.einsum("kij,kmj->kmi", Rt, src_plane_pts[src]) \
-            + tt[:, None, :]                                   # (k,M,3)
-        m1 = jnp.arange(cloud1.shape[1])[None, :] < src_plane_counts[src][:, None]
-        cloud2 = tgt_plane_pts[tgt]                            # (k,M,3)
-        m2 = jnp.arange(cloud2.shape[1])[None, :] < tgt_plane_counts[tgt][:, None]
+    def make_one_chunk(src_pts, tgt_pts):
+        def one_chunk(tc):
+            cand, src, tgt, start, direc, length, valid = tc
+            Rt = R[cand]                                       # (k,3,3)
+            tt = t[cand]
+            cloud1 = jnp.einsum("kij,kmj->kmi", Rt, src_pts[src]) \
+                + tt[:, None, :]                               # (k,M,3)
+            m1 = jnp.arange(cloud1.shape[1])[None, :] \
+                < src_plane_counts[src][:, None]
+            cloud2 = tgt_pts[tgt]                              # (k,M,3)
+            m2 = jnp.arange(cloud2.shape[1])[None, :] \
+                < tgt_plane_counts[tgt][:, None]
 
-        # transformed source plane (normal, offset) and the target plane
-        rn = jnp.einsum("kij,kj->ki", Rt, ns[src])
-        rd = ds[src] - jnp.sum(rn * tt, -1)
-        ntg = tgt_coeffs[tgt, :3]
-        dtg = tgt_coeffs[tgt, 3]
+            # transformed source plane (normal, offset) and target plane
+            rn = jnp.einsum("kij,kj->ki", Rt, ns[src])
+            rd = ds[src] - jnp.sum(rn * tt, -1)
+            ntg = tgt_coeffs[tgt, :3]
+            dtg = tgt_coeffs[tgt, 3]
 
-        ks = jnp.arange(n_samples, dtype=jnp.float32)
-        s_pos = ks[None, :] * search_radius                     # (k,S)
-        s_ok = s_pos < length[:, None]
-        samples = start[:, None, :] + s_pos[..., None] * direc[:, None, :]
+            ks = jnp.arange(n_samples, dtype=jnp.float32)
+            s_pos = ks[None, :] * search_radius                 # (k,S)
+            s_ok = s_pos < length[:, None]
+            samples = start[:, None, :] \
+                + s_pos[..., None] * direc[:, None, :]
 
-        def side(points, pmask, other, omask, pn, pd):
-            # occupancy of the *other* cloud at each sample (>= 2 within r/2)
-            d2o = _d2(other, samples)                           # (k,M,S)
-            occ = jnp.sum((d2o <= (search_radius / 2) ** 2) & omask[..., None],
-                          axis=1) >= 2                          # (k,S)
-            sample_live = s_ok & occ
-            d2p = _d2(points, samples)                          # (k,M,S)
-            near = jnp.any((d2p <= search_radius ** 2) & sample_live[:, None, :],
-                           axis=2) & pmask                      # (k,M)
-            signed = jnp.einsum("kmi,ki->km", points, pn) + pd[:, None]
-            pos = jnp.sum((near & (signed > min_distance)).astype(jnp.int32), 1)
-            neg = jnp.sum((near & (signed < -min_distance)).astype(jnp.int32), 1)
-            return pos, neg
+            def side(points, pmask, other, omask, pn, pd):
+                # occupancy of the *other* cloud per sample (>=2 in r/2)
+                d2o = _d2(other, samples)                       # (k,M,S)
+                occ = jnp.sum((d2o <= (search_radius / 2) ** 2)
+                              & omask[..., None], axis=1) >= 2  # (k,S)
+                sample_live = s_ok & occ
+                d2p = _d2(points, samples)                      # (k,M,S)
+                near = jnp.any((d2p <= search_radius ** 2)
+                               & sample_live[:, None, :],
+                               axis=2) & pmask                  # (k,M)
+                signed = jnp.einsum("kmi,ki->km", points, pn) + pd[:, None]
+                pos = jnp.sum((near & (signed > min_distance))
+                              .astype(jnp.int32), 1)
+                neg = jnp.sum((near & (signed < -min_distance))
+                              .astype(jnp.int32), 1)
+                return pos, neg
 
-        # side 1: source points vs target plane (util.cpp:1383-1415)
-        pos1, neg1 = side(cloud1, m1, cloud2, m2, ntg, dtg)
-        ratio1 = jnp.maximum(pos1, neg1) / jnp.maximum(
-            jnp.minimum(pos1, neg1 + 1), 1)
-        side1 = (pos1 >= min_points) & (neg1 >= min_points) \
-            & (ratio1 <= max_ratio)
-        # side 2: target points vs transformed source plane (1417-1453)
-        pos2, neg2 = side(cloud2, m2, cloud1, m1, rn, rd)
-        ratio2 = jnp.maximum(pos2, neg2) / jnp.maximum(
-            jnp.minimum(pos2, neg2 + 1), 1)
-        side2 = ((pos2 >= min_points) | (neg2 >= min_points)) \
-            & (ratio2 <= max_ratio)
-        return side1 & side2 & valid
+            # side 1: source points vs target plane (util.cpp:1383-1415)
+            pos1, neg1 = side(cloud1, m1, cloud2, m2, ntg, dtg)
+            ratio1 = jnp.maximum(pos1, neg1) / jnp.maximum(
+                jnp.minimum(pos1, neg1 + 1), 1)
+            side1 = (pos1 >= min_points) & (neg1 >= min_points) \
+                & (ratio1 <= max_ratio)
+            # side 2: target points vs source plane (util.cpp:1417-1453)
+            pos2, neg2 = side(cloud2, m2, cloud1, m1, rn, rd)
+            ratio2 = jnp.maximum(pos2, neg2) / jnp.maximum(
+                jnp.minimum(pos2, neg2 + 1), 1)
+            side2 = ((pos2 >= min_points) | (neg2 >= min_points)) \
+                & (ratio2 <= max_ratio)
+            return side1 & side2 & valid
+
+        return one_chunk
 
     K = tests.cand.shape[0]
     chunk = min(chunk, K)
@@ -243,36 +260,55 @@ def run_tests(tests: PenTests, R, t,
     pad = nchunks * chunk - K
     per_test = (tests.cand, tests.src, tests.tgt, tests.start, tests.direc,
                 tests.length, tests.valid)      # overflow scalar excluded
-    padded = jax.tree.map(
-        lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x,
-        per_test)
-    tc = jax.tree.map(lambda x: x.reshape((nchunks, chunk) + x.shape[1:]),
-                      padded)
-    # valid tests are FRONT-COMPACTED (build_tests' nonzero), so chunks
-    # past ceil(n_valid/chunk) are all-padding: a while_loop skips them
-    # instead of computing-and-masking (the reference loop is exactly as
-    # long as its live tests, util.cpp:450-511; typical pairs fill a
-    # fraction of the max_tests budget)
-    n_valid = jnp.sum(tests.valid.astype(jnp.int32))
-    nlive = (n_valid + chunk - 1) // chunk
 
-    def cond(state):
-        i, _ = state
-        return i < nlive
+    M = src_plane_pts.shape[1]
+    Ms = min(small_points, M)
+    is_small = (src_plane_counts[tests.src] <= Ms) \
+        & (tgt_plane_counts[tests.tgt] <= Ms)
 
-    def body(state):
-        i, out = state
-        tci = jax.tree.map(
-            lambda x: jax.lax.dynamic_index_in_dim(x, i, keepdims=False),
-            tuple(tc))
-        res = one_chunk(tci)
-        return i + 1, jax.lax.dynamic_update_slice(out, res, (i * chunk,))
+    def run_group(sel, one_chunk):
+        """Front-compact the selected tests, run their live chunks
+        (while_loop skips all-padding chunks; the reference loop is
+        exactly as long as its live tests, util.cpp:450-511), and
+        scatter verdicts back to the global test order."""
+        n_sel = jnp.sum(sel.astype(jnp.int32))
+        idx = jnp.nonzero(sel, size=K, fill_value=K)[0]
+        safe = jnp.minimum(idx, K - 1)
+        g = jax.tree.map(lambda x: x[safe], per_test)
+        g = g[:-1] + (g[-1] & (idx < K),)      # valid &= in-range
+        padded = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x,
+            g)
+        tc = jax.tree.map(
+            lambda x: x.reshape((nchunks, chunk) + x.shape[1:]), padded)
+        nlive = (n_sel + chunk - 1) // chunk
 
-    _, pen = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.zeros((nchunks * chunk,), jnp.bool_)))
-    return pen[:K]
+        def cond(state):
+            i, _ = state
+            return i < nlive
+
+        def body(state):
+            i, out = state
+            tci = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i,
+                                                       keepdims=False),
+                tuple(tc))
+            res = one_chunk(tci)
+            return i + 1, jax.lax.dynamic_update_slice(out, res,
+                                                       (i * chunk,))
+
+        _, peng = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((nchunks * chunk,), jnp.bool_)))
+        return jnp.zeros((K,), jnp.bool_).at[idx].set(peng[:K], mode="drop")
+
+    pen = run_group(tests.valid & is_small,
+                    make_one_chunk(src_plane_pts[:, :Ms],
+                                   tgt_plane_pts[:, :Ms]))
+    pen |= run_group(tests.valid & ~is_small,
+                     make_one_chunk(src_plane_pts, tgt_plane_pts))
+    return pen
 
 
 def rejected_candidates(tests: PenTests, penetrable, num_candidates: int):
