@@ -248,3 +248,55 @@ def test_far_planes_produce_no_tests(rng):
         src_pts, [0, 0, 1, 0], _quad([10.0, 0, 0], ex, ey, 0.5),
         tgt_pts, [1, 0, 0, 0], _quad([0, 0, 0], ey, ez, 0.5), lt=0.1)
     assert ntests == 0 and not rej
+
+
+def test_penetration_tier_parity(rng):
+    """The small-plane tier (sliced point buffers) and the full-buffer
+    tier are two lowerings of one test: verdicts must agree whichever
+    tier a test lands in.  Mixed case: one small-plane crossing pair and
+    one big-plane crossing pair in the same run."""
+    ex, ey, ez = np.eye(3, dtype=np.float32)
+    M = 2048
+    R = jnp.eye(3)[None]
+    t = jnp.zeros((1, 3))
+    # plane 0: small (300 pts), plane 1: big (1500 pts), both crossing an
+    # equally-sized target plane
+    src_clouds = [_plane_cloud(rng, 300, ex, ey, np.zeros(3), 1.0),
+                  _plane_cloud(rng, 1500, ex, ey, np.array([0, 0, 5.0]),
+                               1.0)]
+    tgt_clouds = [_plane_cloud(rng, 300, ey, ez, np.zeros(3), 1.0),
+                  _plane_cloud(rng, 1500, ey, ez, np.array([0, 0, 5.0]),
+                               1.0)]
+    sc = jnp.asarray([[0, 0, 1, 0], [0, 0, 1, -5.0]], jnp.float32)
+    tc = jnp.asarray([[1, 0, 0, 0], [1, 0, 0, 0]], jnp.float32)
+    scorn = jnp.asarray(np.stack([
+        _quad([0, 0, 0], ex, ey, 1.0), _quad([0, 0, 5.0], ex, ey, 1.0)]))
+    tcorn = jnp.asarray(np.stack([
+        _quad([0, 0, 0], ey, ez, 1.0), _quad([0, 0, 5.0], ey, ez, 1.0)]))
+    scent = jnp.mean(scorn, axis=1)
+    tcent = jnp.mean(tcorn, axis=1)
+    tests = penetration.build_tests(
+        R, t, jnp.ones(1, bool), sc, scorn, scent, jnp.ones(2, bool),
+        tc, tcorn, tcent, jnp.ones(2, bool),
+        jnp.float32(0.1), 5.0 / 180.0 * math.pi, max_tests=16)
+
+    def padc(c):
+        return np.pad(c, ((0, M - len(c)), (0, 0)), constant_values=1e8)
+
+    spts = jnp.asarray(np.stack([padc(c) for c in src_clouds]))
+    tpts = jnp.asarray(np.stack([padc(c) for c in tgt_clouds]))
+    scnt = jnp.asarray([len(c) for c in src_clouds])
+    tcnt = jnp.asarray([len(c) for c in tgt_clouds])
+    kw = dict(search_radius=jnp.float32(0.1), min_points=10,
+              min_distance=jnp.float32(0.05), n_samples=32)
+    # two-tier (default small_points=512: plane 0 small, plane 1 big)
+    pen2 = penetration.run_tests(tests, R, t, spts, scnt, tpts, tcnt,
+                                 sc, tc, **kw)
+    # single-tier (small_points >= M: everything in the big tier)
+    pen1 = penetration.run_tests(tests, R, t, spts, scnt, tpts, tcnt,
+                                 sc, tc, small_points=M, **kw)
+    v = np.asarray(tests.valid)
+    np.testing.assert_array_equal(np.asarray(pen2)[v], np.asarray(pen1)[v])
+    # both crossing pairs penetrate
+    rej = penetration.rejected_candidates(tests, pen2, 1)
+    assert bool(rej[0])
